@@ -1,0 +1,151 @@
+"""Small host-side utilities (no JAX, no torch).
+
+Parity targets: coati/common/util.py (batch_indexable :33, NpEncoder :43,
+makedir/rmdir :66,80, OnlineEstimator :94, records_mp :132,
+execute_with_timeout :150, query_yes_no :182, colored_background :26).
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import multiprocessing as mp
+import os
+import shutil
+import signal
+import sys
+from datetime import timezone
+from itertools import product as _product
+
+import numpy as np
+
+
+def dir_or_file_exists(path: str) -> bool:
+    return os.path.exists(path)
+
+
+def tensor_of_dict_of_lists(d: dict):
+    """Cartesian product of a dict of lists, as a list of dicts."""
+    combos = list(_product(*d.values()))
+    keys = list(d.keys())
+    return [{k: combo[i] for i, k in enumerate(keys)} for combo in combos]
+
+
+def colored_background(r: int, g: int, b: int, text: str) -> str:
+    """ANSI 24-bit background color wrapper (r, g, b in [0, 255])."""
+    return f"\033[48;2;{r};{g};{b}m{text}\033[0m"
+
+
+def batch_indexable(iterable, n: int = 128):
+    """Yield length-n slices of an indexable sequence."""
+    total = len(iterable)
+    for start in range(0, total, n):
+        yield iterable[start : min(start + n, total)]
+
+
+class NpEncoder(json.JSONEncoder):
+    """JSON encoder tolerant of numpy scalars/arrays (and anything with .tolist)."""
+
+    def default(self, obj):
+        if isinstance(obj, np.integer):
+            return int(obj)
+        if isinstance(obj, np.floating):
+            return float(obj)
+        if isinstance(obj, np.ndarray) or hasattr(obj, "tolist"):
+            return obj.tolist()
+        return super().default(obj)
+
+
+def json_valid_dict(obj):
+    return json.loads(json.dumps(obj, cls=NpEncoder))
+
+
+def utc_epoch_now() -> float:
+    return datetime.datetime.now().replace(tzinfo=timezone.utc).timestamp()
+
+
+def makedir(path: str, isfile: bool = False) -> None:
+    """mkdir -p; if isfile, create the parent directory of the given file path."""
+    if isfile:
+        path = os.path.dirname(path)
+    if path != "":
+        os.makedirs(path, exist_ok=True)
+
+
+def rmdir(path: str) -> None:
+    try:
+        shutil.rmtree(path)
+    except Exception as ex:  # noqa: BLE001 - best effort, mirror reference
+        print("rmdir failure", ex)
+
+
+class OnlineEstimator:
+    """Storage-less Welford/Knuth accumulator of mean and variance."""
+
+    def __init__(self, x):
+        self.n = 1
+        self.mean = x * 0.0
+        self.m2 = x * 0.0
+        delta = x - self.mean
+        self.mean += delta / self.n
+        self.m2 += delta * (x - self.mean)
+
+    def __call__(self, x):
+        self.n += 1
+        delta = x - self.mean
+        self.mean += delta / self.n
+        self.m2 += delta * (x - self.mean)
+        return self.mean, self.m2 / (self.n - 1)
+
+
+def records_mp(recs, func, args=None, n=None):
+    """Apply func(chunk, *args) over chunks of records with multiprocessing."""
+    if n is None:
+        n = min(mp.cpu_count(), len(recs))
+    if args is None:
+        args = tuple()
+    before = len(recs)
+    mp_args = [(chunk, *args) for chunk in batch_indexable(recs, n)]
+    with mp.Pool(processes=n) as pool:
+        out = pool.starmap(func, mp_args)
+    flat = [rec for chunk in out for rec in chunk]
+    assert len(flat) == before
+    return flat
+
+
+def execute_with_timeout(method, args, timeout):
+    """Run method(*args) with a SIGALRM timeout; None on expiry."""
+    result = None
+
+    def handler(signum, frame):
+        raise TimeoutError("Execution timed out")
+
+    signal.signal(signal.SIGALRM, handler)
+    signal.alarm(timeout)
+    try:
+        result = method(*args)
+    except TimeoutError:
+        pass
+    finally:
+        signal.alarm(0)
+    return result
+
+
+def dicts_to_keyval(list_of_dicts, key: str, value: str):
+    return {d[key]: d[value] for d in list_of_dicts}
+
+
+def query_yes_no(question: str, default=None) -> bool:
+    """Interactive y/n prompt (auto-yes when COATI_TPU_ASSUME_YES=1 / non-tty)."""
+    if os.environ.get("COATI_TPU_ASSUME_YES") == "1" or not sys.stdin.isatty():
+        return True
+    valid = {"yes": True, "y": True, "ye": True, "no": False, "n": False}
+    prompt = {None: " [y/n] ", "yes": " [Y/n] ", "no": " [y/N] "}[default]
+    while True:
+        sys.stdout.write(question + prompt)
+        choice = input().lower()
+        if default is not None and choice == "":
+            return valid[default]
+        if choice in valid:
+            return valid[choice]
+        sys.stdout.write("Please respond with 'yes' or 'no' (or 'y'/'n').\n")

@@ -1,0 +1,24 @@
+"""Test configuration.
+
+Forces JAX onto a virtual 8-device CPU mesh (the standard JAX mechanism
+for testing multi-device sharding without hardware) BEFORE jax is
+imported anywhere.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("COATI_TPU_ASSUME_YES", "1")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)

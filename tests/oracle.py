@@ -1,0 +1,78 @@
+"""Load reference (torch) modules from /root/reference as numerical oracles.
+
+The reference package is used read-only, imported by file path so that
+rdkit-importing modules are never touched (rdkit is not installed here).
+Only torch-only modules are loadable: tokenizers/trie*, smiles_vocab,
+basic_transformer, smiles_xformer, e_gcl_sparse, e3gnn_clip, periodic_table,
+fill_in_middle, and the simple_coati2 clones.
+
+Tests compare coati_tpu outputs against these oracles on random weights;
+no reference code is copied into the framework.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+
+REF = "/root/reference/coati"
+
+_PATHS = {
+    "ref_trie": f"{REF}/models/encoding/tokenizers/trie.py",
+    "ref_smiles_vocab": f"{REF}/models/encoding/tokenizers/smiles_vocab.py",
+    "ref_basic_transformer": f"{REF}/models/encoding/basic_transformer.py",
+    "ref_smiles_xformer": f"{REF}/models/encoding/smiles_xformer.py",
+    "ref_e_gcl_sparse": f"{REF}/models/encoding/e_gcl_sparse.py",
+    "ref_e3gnn_clip": f"{REF}/models/encoding/e3gnn_clip.py",
+    "ref_periodic_table": f"{REF}/common/periodic_table.py",
+    "ref_fill_in_middle": f"{REF}/models/encoding/fill_in_middle.py",
+}
+
+_cache: dict = {}
+
+# Cross-imports each torch-only reference module actually needs,
+# registered under the coati.* names it imports them by.
+_DEPS = {
+    "ref_smiles_xformer": {
+        "coati.models.encoding.basic_transformer": "ref_basic_transformer"
+    },
+    "ref_e3gnn_clip": {
+        "coati.common.periodic_table": "ref_periodic_table",
+        "coati.models.encoding.e_gcl_sparse": "ref_e_gcl_sparse",
+    },
+}
+
+
+def load(name: str):
+    if name in _cache:
+        return _cache[name]
+    for fullname, key in _DEPS.get(name, {}).items():
+        if fullname not in sys.modules:
+            sys.modules[fullname] = load(key)
+    spec = importlib.util.spec_from_file_location(name, _PATHS[name])
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    _cache[name] = mod
+    return mod
+
+
+def ref_tokenizer(vocab_name: str = "mar_verysimple", n_seq: int = 256, side_tasks: bool = True):
+    """Build the reference TrieTokenizer (needs a torch-free shim for
+    coati.common.util.colored_background)."""
+    import types
+
+    if "coati.common.util" not in sys.modules:
+        shim = types.ModuleType("coati.common.util")
+        shim.colored_background = (
+            lambda r, g, b, text: f"\033[48;2;{r};{g};{b}m{text}\033[0m"
+        )
+        sys.modules["coati.common.util"] = shim
+    spec = importlib.util.spec_from_file_location(
+        "ref_trie_tokenizer", f"{REF}/models/encoding/tokenizers/trie_tokenizer.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    if "coati.models.encoding.tokenizers.trie" not in sys.modules:
+        sys.modules["coati.models.encoding.tokenizers.trie"] = load("ref_trie")
+    spec.loader.exec_module(mod)
+    vocab = load("ref_smiles_vocab").tokenizer_vocabs[vocab_name]
+    return mod.TrieTokenizer(n_seq=n_seq, side_tasks=side_tasks, **vocab)
