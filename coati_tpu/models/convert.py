@@ -1,0 +1,144 @@
+"""Torch-checkpoint → JAX parameter conversion.
+
+Converts reference state_dicts (published "model document" pickles —
+coati/training/train_coati.py:37-57 — or raw state_dicts) into coati_tpu
+parameter pytrees. torch Linear weights are (out, in) and are transposed;
+per-layer block tensors are stacked along a leading layer axis.
+
+Works from either torch tensors or numpy arrays: any torch dependency is
+confined to `to_numpy`.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Mapping, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from coati_tpu.models.transformer import (
+    BlockParams,
+    TransformerConfig,
+    TransformerParams,
+)
+
+
+def to_numpy(x) -> np.ndarray:
+    if isinstance(x, np.ndarray):
+        return x
+    if hasattr(x, "detach"):  # torch tensor without importing torch
+        return x.detach().cpu().numpy()
+    return np.asarray(x)
+
+
+def strip_module_prefix(state_dict: Mapping[str, object]) -> Dict[str, object]:
+    """Remove DistributedDataParallel 'module.' prefixes
+    (coati/models/io/coati.py:66-70)."""
+    return {
+        (k[len("module.") :] if k.startswith("module.") else k): v
+        for k, v in state_dict.items()
+    }
+
+
+def subtree(state_dict: Mapping[str, object], prefix: str) -> Dict[str, object]:
+    pfx = prefix if prefix.endswith(".") else prefix + "."
+    return {k[len(pfx) :]: v for k, v in state_dict.items() if k.startswith(pfx)}
+
+
+def _lin_w(sd, name):
+    return jnp.asarray(to_numpy(sd[name]).T)
+
+
+def _arr(sd, name):
+    return jnp.asarray(to_numpy(sd[name]))
+
+
+def _opt(sd, name) -> Optional[jnp.ndarray]:
+    return _arr(sd, name) if name in sd else None
+
+
+def convert_transformer(
+    sd: Mapping[str, object], cfg: TransformerConfig
+) -> TransformerParams:
+    """Convert a reference RotarySmilesTransformer state_dict (keys like
+    'emb.tok_emb.weight', 'transformer.h.{i}.attn.c_attn.weight',
+    'transformer.ln_f.weight', 'lm_head.weight')."""
+    layers = cfg.n_layer
+
+    def stack(fmt, transpose=False):
+        mats = []
+        for i in range(layers):
+            a = to_numpy(sd[fmt.format(i=i)])
+            mats.append(a.T if transpose else a)
+        return jnp.asarray(np.stack(mats))
+
+    def stack_opt(fmt):
+        if fmt.format(i=0) not in sd:
+            return None
+        return stack(fmt)
+
+    blocks = BlockParams(
+        ln1_scale=stack("transformer.h.{i}.ln_1.weight"),
+        ln1_bias=stack("transformer.h.{i}.ln_1.bias"),
+        w_attn=stack("transformer.h.{i}.attn.c_attn.weight", transpose=True),
+        b_attn=stack_opt("transformer.h.{i}.attn.c_attn.bias"),
+        w_proj=stack("transformer.h.{i}.attn.c_proj.weight", transpose=True),
+        b_proj=stack_opt("transformer.h.{i}.attn.c_proj.bias"),
+        ln2_scale=stack("transformer.h.{i}.ln_2.weight"),
+        ln2_bias=stack("transformer.h.{i}.ln_2.bias"),
+        w_fc=stack("transformer.h.{i}.mlpf.0.weight", transpose=True),
+        b_fc=stack_opt("transformer.h.{i}.mlpf.0.bias"),
+        w_out=stack("transformer.h.{i}.mlpf.2.weight", transpose=True),
+        b_out=stack_opt("transformer.h.{i}.mlpf.2.bias"),
+    )
+    # tok_emb lives at 'emb.tok_emb.weight' (plain) or
+    # 'emb.tok_emb.0.weight' + LayerNorm at '.1' when norm_embed=True
+    # (reference basic_transformer.py:72-78).
+    if "emb.tok_emb.weight" in sd:
+        tok_emb = _arr(sd, "emb.tok_emb.weight")
+        ne_scale = ne_bias = None
+    else:
+        tok_emb = _arr(sd, "emb.tok_emb.0.weight")
+        ne_scale = _opt(sd, "emb.tok_emb.1.weight")
+        ne_bias = _opt(sd, "emb.tok_emb.1.bias")
+    return TransformerParams(
+        tok_emb=tok_emb,
+        blocks=blocks,
+        lnf_scale=_arr(sd, "transformer.ln_f.weight"),
+        lnf_bias=_arr(sd, "transformer.ln_f.bias"),
+        lm_head=_lin_w(sd, "lm_head.weight"),
+        norm_embed_scale=ne_scale,
+        norm_embed_bias=ne_bias,
+    )
+
+
+def export_transformer(params: TransformerParams, cfg: TransformerConfig):
+    """Inverse of convert_transformer: coati_tpu params -> a reference-shaped
+    state_dict of numpy arrays (for round-trip tests / interop)."""
+    sd: Dict[str, np.ndarray] = {}
+    if params.norm_embed_scale is None:
+        sd["emb.tok_emb.weight"] = np.asarray(params.tok_emb)
+    else:
+        sd["emb.tok_emb.0.weight"] = np.asarray(params.tok_emb)
+        sd["emb.tok_emb.1.weight"] = np.asarray(params.norm_embed_scale)
+        sd["emb.tok_emb.1.bias"] = np.asarray(params.norm_embed_bias)
+    b = params.blocks
+    for i in range(cfg.n_layer):
+        pre = f"transformer.h.{i}"
+        sd[f"{pre}.ln_1.weight"] = np.asarray(b.ln1_scale[i])
+        sd[f"{pre}.ln_1.bias"] = np.asarray(b.ln1_bias[i])
+        sd[f"{pre}.attn.c_attn.weight"] = np.asarray(b.w_attn[i]).T
+        sd[f"{pre}.attn.c_proj.weight"] = np.asarray(b.w_proj[i]).T
+        sd[f"{pre}.ln_2.weight"] = np.asarray(b.ln2_scale[i])
+        sd[f"{pre}.ln_2.bias"] = np.asarray(b.ln2_bias[i])
+        sd[f"{pre}.mlpf.0.weight"] = np.asarray(b.w_fc[i]).T
+        sd[f"{pre}.mlpf.2.weight"] = np.asarray(b.w_out[i]).T
+        if b.b_attn is not None:
+            sd[f"{pre}.attn.c_attn.bias"] = np.asarray(b.b_attn[i])
+            sd[f"{pre}.attn.c_proj.bias"] = np.asarray(b.b_proj[i])
+            sd[f"{pre}.mlpf.0.bias"] = np.asarray(b.b_fc[i])
+            sd[f"{pre}.mlpf.2.bias"] = np.asarray(b.b_out[i])
+    sd["transformer.ln_f.weight"] = np.asarray(params.lnf_scale)
+    sd["transformer.ln_f.bias"] = np.asarray(params.lnf_bias)
+    sd["lm_head.weight"] = np.asarray(params.lm_head).T
+    return sd

@@ -1,0 +1,378 @@
+"""Causal rotary SMILES transformer — the COATI decoder/encoder trunk.
+
+Functional JAX re-design of the reference RotarySmilesTransformer
+(coati/models/encoding/smiles_xformer.py:71; blocks at
+coati/models/encoding/basic_transformer.py:103-174). Differences by design:
+
+  * parameters are flax.struct pytrees with all layers STACKED along a
+    leading axis and executed with `lax.scan` — one compiled block body,
+    fast XLA compiles, trivially shardable;
+  * `encode` gathers the [STOP]-position hidden state with a fixed-shape
+    one-hot contraction instead of boolean indexing (TPU-friendly);
+  * soft-token injection (ClipCap-style, reference
+    smiles_xformer.py:426-454) is a `jnp.where` over the embedded
+    sequence, not an in-place scatter;
+  * generation lives in coati_tpu.models.sampler with a fused KV-cache
+    decode loop (the reference re-runs the full prefix per token).
+
+Weight layout note: all linear weights are stored (in_features,
+out_features) = transposed torch layout.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from coati_tpu.ops.attention import causal_attention, decode_attention
+from coati_tpu.ops.layers import (
+    gelu_tanh,
+    layer_norm,
+    linear,
+    matmul_precision,
+    torch_embedding_init,
+    torch_linear_init,
+)
+from coati_tpu.ops.rotary import apply_rotary, rotary_tables
+
+
+@struct.dataclass
+class TransformerConfig:
+    n_layer: int = struct.field(pytree_node=False, default=4)
+    n_embd: int = struct.field(pytree_node=False, default=128)
+    n_head: int = struct.field(pytree_node=False, default=4)
+    n_seq: int = struct.field(pytree_node=False, default=256)
+    n_tok: int = struct.field(pytree_node=False, default=100)
+    biases: bool = struct.field(pytree_node=False, default=True)
+    norm_embed: bool = struct.field(pytree_node=False, default=False)
+    # compute dtype for activations ("float32" | "bfloat16")
+    dtype: str = struct.field(pytree_node=False, default="float32")
+    # matmul precision ("default" fast on MXU, "highest" for parity)
+    precision: str = struct.field(pytree_node=False, default="default")
+
+    @property
+    def head_dim(self) -> int:
+        return self.n_embd // self.n_head
+
+    @property
+    def compute_dtype(self):
+        return jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
+
+    @property
+    def mm_precision(self):
+        return matmul_precision(self.precision)
+
+
+@struct.dataclass
+class BlockParams:
+    """One (or a stack of) transformer block(s); leading axis = layer."""
+
+    ln1_scale: jnp.ndarray
+    ln1_bias: jnp.ndarray
+    w_attn: jnp.ndarray  # (L, D, 3D)
+    b_attn: Optional[jnp.ndarray]
+    w_proj: jnp.ndarray  # (L, D, D)
+    b_proj: Optional[jnp.ndarray]
+    ln2_scale: jnp.ndarray
+    ln2_bias: jnp.ndarray
+    w_fc: jnp.ndarray  # (L, D, 4D)
+    b_fc: Optional[jnp.ndarray]
+    w_out: jnp.ndarray  # (L, 4D, D)
+    b_out: Optional[jnp.ndarray]
+
+
+@struct.dataclass
+class TransformerParams:
+    tok_emb: jnp.ndarray  # (n_tok, D)
+    blocks: BlockParams
+    lnf_scale: jnp.ndarray
+    lnf_bias: jnp.ndarray
+    lm_head: jnp.ndarray  # (D, n_tok)
+    norm_embed_scale: Optional[jnp.ndarray] = None
+    norm_embed_bias: Optional[jnp.ndarray] = None
+
+
+def init_transformer(key: jax.Array, cfg: TransformerConfig) -> TransformerParams:
+    """Initialize with torch-default distributions (training parity)."""
+    d, layers = cfg.n_embd, cfg.n_layer
+    keys = jax.random.split(key, 4 * layers + 2)
+
+    def stack(fn):
+        return jnp.stack([fn(i) for i in range(layers)])
+
+    w_attn = stack(lambda i: torch_linear_init(keys[4 * i], d, 3 * d, cfg.biases)[0])
+    b_attn = (
+        stack(lambda i: torch_linear_init(keys[4 * i], d, 3 * d, True)[1])
+        if cfg.biases
+        else None
+    )
+    w_proj = stack(lambda i: torch_linear_init(keys[4 * i + 1], d, d, cfg.biases)[0])
+    b_proj = (
+        stack(lambda i: torch_linear_init(keys[4 * i + 1], d, d, True)[1])
+        if cfg.biases
+        else None
+    )
+    w_fc = stack(lambda i: torch_linear_init(keys[4 * i + 2], d, 4 * d, cfg.biases)[0])
+    b_fc = (
+        stack(lambda i: torch_linear_init(keys[4 * i + 2], d, 4 * d, True)[1])
+        if cfg.biases
+        else None
+    )
+    w_out = stack(lambda i: torch_linear_init(keys[4 * i + 3], 4 * d, d, cfg.biases)[0])
+    b_out = (
+        stack(lambda i: torch_linear_init(keys[4 * i + 3], 4 * d, d, True)[1])
+        if cfg.biases
+        else None
+    )
+    ones = jnp.ones((layers, d), jnp.float32)
+    zeros = jnp.zeros((layers, d), jnp.float32)
+    blocks = BlockParams(
+        ln1_scale=ones, ln1_bias=zeros,
+        w_attn=w_attn, b_attn=b_attn, w_proj=w_proj, b_proj=b_proj,
+        ln2_scale=ones, ln2_bias=zeros,
+        w_fc=w_fc, b_fc=b_fc, w_out=w_out, b_out=b_out,
+    )
+    return TransformerParams(
+        tok_emb=torch_embedding_init(keys[-2], cfg.n_tok, d),
+        blocks=blocks,
+        lnf_scale=jnp.ones((d,), jnp.float32),
+        lnf_bias=jnp.zeros((d,), jnp.float32),
+        lm_head=torch_linear_init(keys[-1], d, cfg.n_tok, bias=False)[0],
+        norm_embed_scale=jnp.ones((d,), jnp.float32) if cfg.norm_embed else None,
+        norm_embed_bias=jnp.zeros((d,), jnp.float32) if cfg.norm_embed else None,
+    )
+
+
+def count_params(params) -> int:
+    return sum(x.size for x in jax.tree_util.tree_leaves(params))
+
+
+# --------------------------------------------------------------- embedding
+
+
+def embed_tokens(
+    params: TransformerParams,
+    cfg: TransformerConfig,
+    tokens: jnp.ndarray,
+    injection: Optional[jnp.ndarray] = None,
+    inject_token: Optional[int] = None,
+) -> jnp.ndarray:
+    """Token embedding with optional per-row soft-token injection over
+    every occurrence of `inject_token` (reference smiles_xformer.py:444-448:
+    x[hole] = injection[row])."""
+    x = params.tok_emb[tokens]
+    if params.norm_embed_scale is not None:
+        x = layer_norm(x, params.norm_embed_scale, params.norm_embed_bias)
+    if injection is not None:
+        holes = (tokens == inject_token)[..., None]
+        x = jnp.where(holes, injection[:, None, :].astype(x.dtype), x)
+    return x.astype(cfg.compute_dtype)
+
+
+# ---------------------------------------------------------- full forward
+
+
+def _block_full(x, blk: BlockParams, cfg: TransformerConfig, cos, sin):
+    """One block over a full sequence. x: (B, T, D)."""
+    b, t, d = x.shape
+    h, dh = cfg.n_head, cfg.head_dim
+    prec = cfg.mm_precision
+
+    y = layer_norm(x, blk.ln1_scale, blk.ln1_bias)
+    qkv = linear(y, blk.w_attn, blk.b_attn, prec)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = q.reshape(b, t, h, dh)
+    k = k.reshape(b, t, h, dh)
+    v = v.reshape(b, t, h, dh)
+    # rotary over positions [0, t): cos/sin broadcast (T, Dh) -> (B, T, H, Dh)
+    q = apply_rotary(q, cos[:t, None, :], sin[:t, None, :])
+    k = apply_rotary(k, cos[:t, None, :], sin[:t, None, :])
+    attn = causal_attention(q, k, v, prec).reshape(b, t, d)
+    x = x + linear(attn, blk.w_proj, blk.b_proj, prec)
+
+    y = layer_norm(x, blk.ln2_scale, blk.ln2_bias)
+    y = gelu_tanh(linear(y, blk.w_fc, blk.b_fc, prec))
+    x = x + linear(y, blk.w_out, blk.b_out, prec)
+    return x
+
+
+def forward_hidden(
+    params: TransformerParams,
+    cfg: TransformerConfig,
+    tokens: jnp.ndarray,
+    injection: Optional[jnp.ndarray] = None,
+    inject_token: Optional[int] = None,
+) -> jnp.ndarray:
+    """Full forward through all blocks + final LN. tokens: (B, T) -> (B, T, D)."""
+    cos, sin = rotary_tables(cfg.n_seq, cfg.head_dim)
+    cos = cos.astype(cfg.compute_dtype)
+    sin = sin.astype(cfg.compute_dtype)
+    x = embed_tokens(params, cfg, tokens, injection, inject_token)
+
+    def body(x, blk):
+        return _block_full(x, blk, cfg, cos, sin), None
+
+    x, _ = jax.lax.scan(body, x, params.blocks)
+    return layer_norm(x, params.lnf_scale, params.lnf_bias)
+
+
+def forward_logits(
+    params: TransformerParams,
+    cfg: TransformerConfig,
+    tokens: jnp.ndarray,
+    injection: Optional[jnp.ndarray] = None,
+    inject_token: Optional[int] = None,
+) -> jnp.ndarray:
+    """(B, T) -> (B, T, n_tok). With injection this is the reference's
+    forward_with_replacement (smiles_xformer.py:426)."""
+    x = forward_hidden(params, cfg, tokens, injection, inject_token)
+    return linear(x, params.lm_head, None, cfg.mm_precision)
+
+
+def stop_token_hidden(
+    hidden: jnp.ndarray, tokens: jnp.ndarray, stop_token: int
+) -> jnp.ndarray:
+    """Hidden state at the first [STOP] position per row, as a fixed-shape
+    one-hot contraction (reference get_stop_token_embs,
+    smiles_xformer.py:50-68, requires exactly one stop per row)."""
+    t = tokens.shape[1]
+    stop_pos = jnp.argmax(tokens == stop_token, axis=1)  # (B,)
+    onehot = jax.nn.one_hot(stop_pos, t, dtype=hidden.dtype)
+    return jnp.einsum("bt,btd->bd", onehot, hidden)
+
+
+def encode(
+    params: TransformerParams,
+    cfg: TransformerConfig,
+    tokens: jnp.ndarray,
+    stop_token: int,
+) -> jnp.ndarray:
+    """(B, T) -> (B, D): hidden state at [STOP] (reference encode,
+    smiles_xformer.py:106-112)."""
+    hidden = forward_hidden(params, cfg, tokens)
+    return stop_token_hidden(hidden, tokens, stop_token)
+
+
+def forward_with_stop_emb(
+    params: TransformerParams,
+    cfg: TransformerConfig,
+    tokens: jnp.ndarray,
+    stop_token: int,
+    injection: Optional[jnp.ndarray] = None,
+    inject_token: Optional[int] = None,
+):
+    """(logits, stop_hidden) in one pass (smiles_xformer.py:384-424)."""
+    hidden = forward_hidden(params, cfg, tokens, injection, inject_token)
+    logits = linear(hidden, params.lm_head, None, cfg.mm_precision)
+    return logits, stop_token_hidden(hidden, tokens, stop_token)
+
+
+# ----------------------------------------------------------- decode step
+
+
+def make_empty_cache(cfg: TransformerConfig, batch: int, dtype=None) -> jnp.ndarray:
+    """KV cache: (L, 2, B, Tmax, H, Dh)."""
+    dtype = dtype or cfg.compute_dtype
+    return jnp.zeros(
+        (cfg.n_layer, 2, batch, cfg.n_seq, cfg.n_head, cfg.head_dim), dtype
+    )
+
+
+def prefill(
+    params: TransformerParams,
+    cfg: TransformerConfig,
+    tokens: jnp.ndarray,
+    injection: Optional[jnp.ndarray] = None,
+    inject_token: Optional[int] = None,
+    cache: Optional[jnp.ndarray] = None,
+):
+    """Run the full prefix once, filling the KV cache.
+
+    tokens: (B, P). Returns (hidden (B, P, D), cache) where cache holds
+    rotated K and V for positions [0, P).
+    """
+    b, p = tokens.shape
+    h, dh = cfg.n_head, cfg.head_dim
+    prec = cfg.mm_precision
+    cos, sin = rotary_tables(cfg.n_seq, cfg.head_dim)
+    cos = cos.astype(cfg.compute_dtype)
+    sin = sin.astype(cfg.compute_dtype)
+    if cache is None:
+        cache = make_empty_cache(cfg, b)
+
+    x = embed_tokens(params, cfg, tokens, injection, inject_token)
+
+    def body(x, inputs):
+        blk, layer_cache = inputs
+        y = layer_norm(x, blk.ln1_scale, blk.ln1_bias)
+        qkv = linear(y, blk.w_attn, blk.b_attn, prec)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = apply_rotary(q.reshape(b, p, h, dh), cos[:p, None, :], sin[:p, None, :])
+        k = apply_rotary(k.reshape(b, p, h, dh), cos[:p, None, :], sin[:p, None, :])
+        v = v.reshape(b, p, h, dh)
+        layer_cache = layer_cache.at[0, :, :p].set(k)
+        layer_cache = layer_cache.at[1, :, :p].set(v)
+        attn = causal_attention(q, k, v, prec).reshape(b, p, cfg.n_embd)
+        x = x + linear(attn, blk.w_proj, blk.b_proj, prec)
+        y = layer_norm(x, blk.ln2_scale, blk.ln2_bias)
+        x = x + linear(gelu_tanh(linear(y, blk.w_fc, blk.b_fc, prec)), blk.w_out, blk.b_out, prec)
+        return x, layer_cache
+
+    x, cache = jax.lax.scan(body, x, (params.blocks, cache))
+    hidden = layer_norm(x, params.lnf_scale, params.lnf_bias)
+    return hidden, cache
+
+
+def decode_step(
+    params: TransformerParams,
+    cfg: TransformerConfig,
+    token: jnp.ndarray,
+    pos: jnp.ndarray,
+    cache: jnp.ndarray,
+):
+    """One autoregressive step: embed `token` (B,), attend at position
+    `pos` (scalar) against the cache, return (logits (B, V), new cache)."""
+    b = token.shape[0]
+    h, dh = cfg.n_head, cfg.head_dim
+    prec = cfg.mm_precision
+    cos_t, sin_t = rotary_tables(cfg.n_seq, cfg.head_dim)
+    cos1 = jax.lax.dynamic_index_in_dim(cos_t, pos, 0, keepdims=False).astype(
+        cfg.compute_dtype
+    )
+    sin1 = jax.lax.dynamic_index_in_dim(sin_t, pos, 0, keepdims=False).astype(
+        cfg.compute_dtype
+    )
+
+    x = params.tok_emb[token]
+    if params.norm_embed_scale is not None:
+        x = layer_norm(x, params.norm_embed_scale, params.norm_embed_bias)
+    x = x.astype(cfg.compute_dtype)  # (B, D)
+
+    def body(x, inputs):
+        blk, layer_cache = inputs
+        y = layer_norm(x, blk.ln1_scale, blk.ln1_bias)
+        qkv = linear(y, blk.w_attn, blk.b_attn, prec)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = apply_rotary(q.reshape(b, h, dh), cos1, sin1)
+        k = apply_rotary(k.reshape(b, h, dh), cos1, sin1)
+        v = v.reshape(b, h, dh)
+        layer_cache = jax.lax.dynamic_update_slice(
+            layer_cache, k[None, :, None], (0, 0, pos, 0, 0)
+        )
+        layer_cache = jax.lax.dynamic_update_slice(
+            layer_cache, v[None, :, None], (1, 0, pos, 0, 0)
+        )
+        attn = decode_attention(q, layer_cache[0], layer_cache[1], pos, prec)
+        x = x + linear(attn.reshape(b, cfg.n_embd), blk.w_proj, blk.b_proj, prec)
+        y = layer_norm(x, blk.ln2_scale, blk.ln2_bias)
+        x = x + linear(gelu_tanh(linear(y, blk.w_fc, blk.b_fc, prec)), blk.w_out, blk.b_out, prec)
+        return x, layer_cache
+
+    x, cache = jax.lax.scan(body, x, (params.blocks, cache))
+    x = layer_norm(x, params.lnf_scale, params.lnf_bias)
+    logits = linear(x, params.lm_head, None, prec)
+    return logits, cache

