@@ -16,6 +16,7 @@ from typing import Dict, Mapping, Optional
 import numpy as np
 import jax.numpy as jnp
 
+from coati_tpu.models.egnn import EgnnConfig, EgnnLayerParams, EgnnParams
 from coati_tpu.models.transformer import (
     BlockParams,
     TransformerConfig,
@@ -109,6 +110,48 @@ def convert_transformer(
         lm_head=_lin_w(sd, "lm_head.weight"),
         norm_embed_scale=ne_scale,
         norm_embed_bias=ne_bias,
+    )
+
+
+def convert_egnn(sd: Mapping[str, object], cfg: EgnnConfig) -> EgnnParams:
+    """Convert a reference e3gnn_clip state_dict (keys 'embedding.weight',
+    'gcl_{i}.edge_mlp.0.weight', 'node_dec.0.weight', ...; Linears inside
+    Sequentials sit at indices 0/3 for edge & node MLPs and 0/2 for the
+    coord MLP — coati/models/encoding/e_gcl_sparse.py:130-154)."""
+    layers = cfg.n_layers
+
+    def stack(fmt, transpose=True):
+        mats = []
+        for i in range(layers):
+            a = to_numpy(sd[fmt.format(i=i)])
+            mats.append(a.T if transpose else a)
+        return jnp.asarray(np.stack(mats))
+
+    layer_params = EgnnLayerParams(
+        edge_w1=stack("gcl_{i}.edge_mlp.0.weight"),
+        edge_b1=stack("gcl_{i}.edge_mlp.0.bias", transpose=False),
+        edge_w2=stack("gcl_{i}.edge_mlp.3.weight"),
+        edge_b2=stack("gcl_{i}.edge_mlp.3.bias", transpose=False),
+        node_w1=stack("gcl_{i}.node_mlp.0.weight"),
+        node_b1=stack("gcl_{i}.node_mlp.0.bias", transpose=False),
+        node_w2=stack("gcl_{i}.node_mlp.3.weight"),
+        node_b2=stack("gcl_{i}.node_mlp.3.bias", transpose=False),
+        coord_w1=stack("gcl_{i}.coord_mlp.0.weight"),
+        coord_b1=stack("gcl_{i}.coord_mlp.0.bias", transpose=False),
+        coord_w2=stack("gcl_{i}.coord_mlp.2.weight"),
+    )
+    if cfg.torch_emb:
+        embed_w, embed_b = _arr(sd, "emb.weight"), None
+    else:
+        embed_w, embed_b = _lin_w(sd, "embedding.weight"), _arr(sd, "embedding.bias")
+    return EgnnParams(
+        embed_w=embed_w,
+        embed_b=embed_b,
+        layers=layer_params,
+        dec_w1=_lin_w(sd, "node_dec.0.weight"),
+        dec_b1=_arr(sd, "node_dec.0.bias"),
+        dec_w2=_lin_w(sd, "node_dec.3.weight"),
+        dec_b2=_arr(sd, "node_dec.3.bias"),
     )
 
 
