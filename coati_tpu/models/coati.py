@@ -1,0 +1,303 @@
+"""COATI composite model: SMILES transformer + E(3) point encoder + CLIP.
+
+Functional JAX redesign of e3gnn_smiles_clip_e2e
+(coati/models/encoding/clip_e2e.py:350-845). Pure functions over a
+CoatiParams pytree; the user-facing OO wrapper with the reference's
+method names lives in coati_tpu.models.api.
+
+Loss functions here operate on the LOCAL shard; the distributed training
+step all-gathers embeddings across the data mesh axis before calling
+clip_loss (see coati_tpu/training/train.py), reproducing the reference's
+differentiable NCCL all_gather (coati/models/autograd_funs/autograd_funs.py:5-25)
+with JAX AD providing the reduce-scatter backward automatically.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from coati_tpu.models.egnn import EgnnConfig, EgnnParams, egnn_forward, init_egnn
+from coati_tpu.models.transformer import (
+    TransformerConfig,
+    TransformerParams,
+    forward_hidden,
+    init_transformer,
+    stop_token_hidden,
+)
+from coati_tpu.ops.layers import layer_norm, linear, torch_linear_init
+
+
+@struct.dataclass
+class CoatiConfig:
+    """Field names mirror the reference constructor kwargs
+    (clip_e2e.py:357-377) so checkpointed model_kwargs map 1:1."""
+
+    n_layer_e3gnn: int = struct.field(pytree_node=False, default=4)
+    n_layer_xformer: int = struct.field(pytree_node=False, default=16)
+    n_hidden_xformer: int = struct.field(pytree_node=False, default=128)
+    n_hidden_e3nn: int = struct.field(pytree_node=False, default=128)
+    msg_cutoff_e3nn: float = struct.field(pytree_node=False, default=4.0)
+    n_embd_common: int = struct.field(pytree_node=False, default=128)
+    n_head: int = struct.field(pytree_node=False, default=8)
+    n_seq: int = struct.field(pytree_node=False, default=200)
+    n_tok: int = struct.field(pytree_node=False, default=4)
+    biases: bool = struct.field(pytree_node=False, default=True)
+    torch_emb: bool = struct.field(pytree_node=False, default=False)
+    residual: bool = struct.field(pytree_node=False, default=False)
+    norm_clips: bool = struct.field(pytree_node=False, default=True)
+    norm_embed: bool = struct.field(pytree_node=False, default=False)
+    token_mlp: bool = struct.field(pytree_node=False, default=True)
+    use_point_encoder: bool = struct.field(pytree_node=False, default=True)
+    old_architecture: bool = struct.field(pytree_node=False, default=False)
+    # REFERENCE QUIRK: e3gnn_clip stores msg_cutoff but never forwards it
+    # to its e_gcl_sparse layers, which silently use their default of 5.0
+    # (e3gnn_clip.py:91-104 vs e_gcl_sparse.py:103). Every published
+    # checkpoint therefore ran with cutoff 5.0 regardless of the
+    # msg_cutoff_e3nn kwarg (grande sets 12.0). Default replicates that;
+    # set honor_msg_cutoff=True to get the intended behavior.
+    honor_msg_cutoff: bool = struct.field(pytree_node=False, default=False)
+    dtype: str = struct.field(pytree_node=False, default="float32")
+    precision: str = struct.field(pytree_node=False, default="default")
+
+    @property
+    def embed_dim(self) -> int:
+        return self.n_embd_common
+
+    @property
+    def xformer_config(self) -> TransformerConfig:
+        return TransformerConfig(
+            n_layer=self.n_layer_xformer,
+            n_embd=self.n_hidden_xformer,
+            n_head=self.n_head,
+            n_seq=self.n_seq,
+            n_tok=self.n_tok,
+            biases=self.biases,
+            norm_embed=self.norm_embed,
+            dtype=self.dtype,
+            precision=self.precision,
+        )
+
+    @property
+    def egnn_config(self) -> EgnnConfig:
+        return EgnnConfig(
+            hidden_nf=self.n_hidden_e3nn,
+            n_layers=self.n_layer_e3gnn,
+            message_cutoff=self.msg_cutoff_e3nn if self.honor_msg_cutoff else 5.0,
+            instance_norm=True,
+            torch_emb=self.torch_emb,
+            residual=self.residual,
+            dropout=0.0,
+            dtype=self.dtype,
+            precision=self.precision,
+        )
+
+
+@struct.dataclass
+class ProjParams:
+    """LayerNorm+Linear projection head (clip_e2e.py:408-429). When
+    norm_clips: new architecture applies LN before the Linear, old
+    architecture after. Without norm_clips only the Linear exists."""
+
+    w: jnp.ndarray
+    b: jnp.ndarray
+    ln_scale: Optional[jnp.ndarray] = None
+    ln_bias: Optional[jnp.ndarray] = None
+
+
+def apply_projection(
+    p: ProjParams, x: jnp.ndarray, old_architecture: bool, precision=None
+) -> jnp.ndarray:
+    if p.ln_scale is None:
+        return linear(x, p.w, p.b, precision)
+    if old_architecture:
+        return layer_norm(linear(x, p.w, p.b, precision), p.ln_scale, p.ln_bias)
+    return linear(layer_norm(x, p.ln_scale, p.ln_bias), p.w, p.b, precision)
+
+
+@struct.dataclass
+class CoatiParams:
+    xformer: TransformerParams
+    point_encoder: Optional[EgnnParams]
+    point_to_clip: Optional[ProjParams]
+    smiles_to_clip: ProjParams
+    token_w: Optional[jnp.ndarray]  # point_clip_to_special_tokens Linear
+    token_b: Optional[jnp.ndarray]
+
+
+def init_coati(key: jax.Array, cfg: CoatiConfig) -> CoatiParams:
+    kx, ke, kp, ks, kt = jax.random.split(key, 5)
+    xformer = init_transformer(kx, cfg.xformer_config)
+    point_encoder = init_egnn(ke, cfg.egnn_config) if cfg.use_point_encoder else None
+
+    def proj(key, d_in, d_out, ln_dim):
+        w, b = torch_linear_init(key, d_in, d_out)
+        if cfg.norm_clips:
+            return ProjParams(
+                w=w, b=b,
+                ln_scale=jnp.ones((ln_dim,), jnp.float32),
+                ln_bias=jnp.zeros((ln_dim,), jnp.float32),
+            )
+        return ProjParams(w=w, b=b)
+
+    # LN dims follow the reference literally (clip_e2e.py:408-426); all
+    # published configs have n_hidden == embed_dim so they coincide.
+    point_to_clip = (
+        proj(kp, cfg.n_hidden_e3nn, cfg.embed_dim,
+             cfg.n_hidden_e3nn if cfg.old_architecture or not cfg.norm_clips
+             else cfg.n_hidden_e3nn)
+        if cfg.use_point_encoder
+        else None
+    )
+    smiles_to_clip = proj(ks, cfg.n_hidden_xformer, cfg.embed_dim, cfg.embed_dim)
+    if cfg.token_mlp:
+        token_w, token_b = torch_linear_init(kt, cfg.embed_dim, cfg.embed_dim)
+    else:
+        token_w = token_b = None
+    return CoatiParams(
+        xformer=xformer,
+        point_encoder=point_encoder,
+        point_to_clip=point_to_clip,
+        smiles_to_clip=smiles_to_clip,
+        token_w=token_w,
+        token_b=token_b,
+    )
+
+
+# ------------------------------------------------------------- encoders
+
+
+def encode_tokens(
+    params: CoatiParams, cfg: CoatiConfig, tokens: jnp.ndarray, stop_token: int
+) -> jnp.ndarray:
+    """(B, T) -> (B, embed_dim): hclip of the [STOP] hidden state
+    (clip_e2e.py:448-452)."""
+    xcfg = cfg.xformer_config
+    hidden = forward_hidden(params.xformer, xcfg, tokens)
+    h = stop_token_hidden(hidden, tokens, stop_token)
+    return apply_projection(
+        params.smiles_to_clip, h, cfg.old_architecture, xcfg.mm_precision
+    )
+
+
+def encode_points(
+    params: CoatiParams, cfg: CoatiConfig, atoms: jnp.ndarray, coords: jnp.ndarray
+) -> jnp.ndarray:
+    """(B, N), (B, N, 3) -> (B, embed_dim); zeros when the point encoder
+    is ablated (clip_e2e.py:454-463)."""
+    if not cfg.use_point_encoder or params.point_encoder is None:
+        return jnp.zeros((atoms.shape[0], cfg.embed_dim), cfg.xformer_config.compute_dtype)
+    h = egnn_forward(params.point_encoder, cfg.egnn_config, atoms, coords)
+    return apply_projection(
+        params.point_to_clip, h, cfg.old_architecture, cfg.egnn_config.mm_precision
+    )
+
+
+def clip_to_special_token(params: CoatiParams, h_clip: jnp.ndarray) -> jnp.ndarray:
+    """SiLU -> Linear token MLP (clip_e2e.py:431-437), identity without
+    token_mlp."""
+    if params.token_w is None:
+        return h_clip
+    return linear(jax.nn.silu(h_clip), params.token_w, params.token_b)
+
+
+# --------------------------------------------------------------- losses
+
+
+def cross_entropy_ignore(
+    logits: jnp.ndarray, labels: jnp.ndarray, ignore_index: int = -1
+) -> jnp.ndarray:
+    """Mean cross-entropy over labels != ignore_index (torch
+    F.cross_entropy(ignore_index=...) semantics)."""
+    valid = labels != ignore_index
+    safe = jnp.where(valid, labels, 0)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    nll = jnp.where(valid, nll, 0.0)
+    return jnp.sum(nll) / jnp.maximum(jnp.sum(valid), 1)
+
+
+def clip_loss(
+    smiles_features: jnp.ndarray,
+    conformer_features: jnp.ndarray,
+    bad_rows: jnp.ndarray,
+    precision=None,
+) -> jnp.ndarray:
+    """Symmetric InfoNCE over the (global) batch (clip_e2e.py:27-47)."""
+    sf = smiles_features.astype(jnp.float32)
+    cf = conformer_features.astype(jnp.float32)
+    logits = jnp.matmul(sf, cf.T, precision=precision)
+    n = logits.shape[0]
+    labels = jnp.where(bad_rows, -1, jnp.arange(n))
+    return 0.5 * (
+        cross_entropy_ignore(logits, labels)
+        + cross_entropy_ignore(logits.T, labels)
+    )
+
+
+def ar_loss_fn(logits: jnp.ndarray, y_next: jnp.ndarray) -> jnp.ndarray:
+    """Next-token cross-entropy with -1-masked labels
+    (train_coati.py:260-265)."""
+    return cross_entropy_ignore(
+        logits.reshape(-1, logits.shape[-1]), y_next.reshape(-1)
+    )
+
+
+# -------------------------------------------------------------- forward
+
+
+def forward(
+    params: CoatiParams,
+    cfg: CoatiConfig,
+    rng: jax.Array,
+    raw_tokens: jnp.ndarray,
+    augmented_tokens: jnp.ndarray,
+    atoms: jnp.ndarray,
+    coords: jnp.ndarray,
+    stop_token: int,
+    unk_token: int,
+    p_clip_emb_smi: float = 0.4,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Training forward (clip_e2e.py:772-845): encode both modalities,
+    pick the injected clip token per row at random (point with prob
+    1 - p_clip_emb_smi), run the decoder with injection.
+
+    Returns (h_e3gnn, h_smiles, logits, bad_rows)."""
+    h_e3gnn = encode_points(params, cfg, atoms, coords)
+    h_smiles = encode_tokens(params, cfg, raw_tokens, stop_token)
+    point_tok = clip_to_special_token(params, h_e3gnn)
+    smiles_tok = clip_to_special_token(params, h_smiles)
+    pick_point = jax.random.uniform(rng, (h_e3gnn.shape[0], 1)) > p_clip_emb_smi
+    clip_token = jnp.where(pick_point, point_tok, smiles_tok)
+
+    xcfg = cfg.xformer_config
+    hidden = forward_hidden(
+        params.xformer, xcfg, augmented_tokens, clip_token, unk_token
+    )
+    logits = linear(hidden, params.xformer.lm_head, None, xcfg.mm_precision)
+    bad_rows = jnp.sum(augmented_tokens, axis=-1) < 1
+    return h_e3gnn, h_smiles, logits, bad_rows
+
+
+def tokens_likelihood(
+    params: CoatiParams,
+    cfg: CoatiConfig,
+    tokens: jnp.ndarray,
+    y_next: jnp.ndarray,
+    injection: Optional[jnp.ndarray] = None,
+    unk_token: Optional[int] = None,
+) -> jnp.ndarray:
+    """Summed next-token NLL per row with -1-masked labels — backbone of
+    hclip_and_tokens_to_likelihood (clip_e2e.py:634-665) and
+    batch_smiles_to_s2s_likelihood (clip_e2e.py:667-742)."""
+    xcfg = cfg.xformer_config
+    hidden = forward_hidden(params.xformer, xcfg, tokens, injection, unk_token)
+    logits = linear(hidden, params.xformer.lm_head, None, xcfg.mm_precision)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    valid = y_next != -1
+    safe = jnp.where(valid, y_next, 0)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    return jnp.sum(jnp.where(valid, nll, 0.0), axis=-1)

@@ -16,6 +16,7 @@ from typing import Dict, Mapping, Optional
 import numpy as np
 import jax.numpy as jnp
 
+from coati_tpu.models.coati import CoatiConfig, CoatiParams, ProjParams
 from coati_tpu.models.egnn import EgnnConfig, EgnnLayerParams, EgnnParams
 from coati_tpu.models.transformer import (
     BlockParams,
@@ -153,6 +154,97 @@ def convert_egnn(sd: Mapping[str, object], cfg: EgnnConfig) -> EgnnParams:
         dec_w2=_lin_w(sd, "node_dec.3.weight"),
         dec_b2=_arr(sd, "node_dec.3.bias"),
     )
+
+
+def _convert_projection(sd: Mapping[str, object], prefix: str) -> ProjParams:
+    """Convert point_to_clip / smiles_to_clip heads. Layer order inside the
+    Sequential is detected from weight rank: a 1-D '.0.weight' means
+    LayerNorm-first (new architecture), 2-D means Linear-first (old
+    architecture) — clip_e2e.py:408-429."""
+    if f"{prefix}.weight" in sd:  # norm_clips=False: bare Linear
+        return ProjParams(w=_lin_w(sd, f"{prefix}.weight"), b=_arr(sd, f"{prefix}.bias"))
+    w0 = to_numpy(sd[f"{prefix}.0.weight"])
+    if w0.ndim == 1:  # LayerNorm first
+        return ProjParams(
+            w=_lin_w(sd, f"{prefix}.1.weight"),
+            b=_arr(sd, f"{prefix}.1.bias"),
+            ln_scale=_arr(sd, f"{prefix}.0.weight"),
+            ln_bias=_arr(sd, f"{prefix}.0.bias"),
+        )
+    return ProjParams(
+        w=_lin_w(sd, f"{prefix}.0.weight"),
+        b=_arr(sd, f"{prefix}.0.bias"),
+        ln_scale=_arr(sd, f"{prefix}.1.weight"),
+        ln_bias=_arr(sd, f"{prefix}.1.bias"),
+    )
+
+
+def projection_is_old_architecture(sd: Mapping[str, object], prefix: str) -> bool:
+    key = f"{prefix}.0.weight"
+    return key in sd and to_numpy(sd[key]).ndim == 2
+
+
+def convert_coati(sd: Mapping[str, object], cfg: CoatiConfig) -> CoatiParams:
+    """Convert a full e3gnn_smiles_clip_e2e state_dict ('xformer.*',
+    'point_encoder.*', 'smiles_to_clip.*', 'point_to_clip.*',
+    'point_clip_to_special_tokens.*')."""
+    sd = strip_module_prefix(sd)
+    xformer = convert_transformer(subtree(sd, "xformer"), cfg.xformer_config)
+    point_sd = subtree(sd, "point_encoder")
+    point_encoder = (
+        convert_egnn(point_sd, cfg.egnn_config)
+        if cfg.use_point_encoder and point_sd
+        else None
+    )
+    point_to_clip = (
+        _convert_projection(sd, "point_to_clip")
+        if point_encoder is not None
+        else None
+    )
+    smiles_to_clip = _convert_projection(sd, "smiles_to_clip")
+    if "point_clip_to_special_tokens.1.weight" in sd:
+        token_w = _lin_w(sd, "point_clip_to_special_tokens.1.weight")
+        token_b = _arr(sd, "point_clip_to_special_tokens.1.bias")
+    else:  # token_mlp=False -> Identity
+        token_w = token_b = None
+    return CoatiParams(
+        xformer=xformer,
+        point_encoder=point_encoder,
+        point_to_clip=point_to_clip,
+        smiles_to_clip=smiles_to_clip,
+        token_w=token_w,
+        token_b=token_b,
+    )
+
+
+_COATI_KWARG_FIELDS = (
+    "n_layer_e3gnn",
+    "n_layer_xformer",
+    "n_hidden_xformer",
+    "n_hidden_e3nn",
+    "msg_cutoff_e3nn",
+    "n_embd_common",
+    "n_head",
+    "n_seq",
+    "n_tok",
+    "biases",
+    "torch_emb",
+    "residual",
+    "norm_clips",
+    "norm_embed",
+    "token_mlp",
+    "use_point_encoder",
+    "old_architecture",
+)
+
+
+def config_from_model_kwargs(model_kwargs: Mapping[str, object], **overrides) -> CoatiConfig:
+    """Build a CoatiConfig from checkpointed model_kwargs (the reference
+    stores constructor kwargs inside every model document,
+    train_coati.py:119-138)."""
+    kwargs = {k: model_kwargs[k] for k in _COATI_KWARG_FIELDS if k in model_kwargs}
+    kwargs.update(overrides)
+    return CoatiConfig(**kwargs)
 
 
 def export_transformer(params: TransformerParams, cfg: TransformerConfig):

@@ -56,6 +56,48 @@ def load(name: str):
     return mod
 
 
+def load_ref_clip_e2e():
+    """Load the reference composite model module (clip_e2e.py) with stub
+    shims for its rdkit-touching imports (rdkit is not installed here;
+    only module-level names disable_logger/permute_smiles are needed to
+    import, and composite-model tests never call them)."""
+    import types
+
+    if "ref_clip_e2e" in _cache:
+        return _cache["ref_clip_e2e"]
+
+    if "coati.containers.rdkit_utils" not in sys.modules:
+        stub = types.ModuleType("coati.containers.rdkit_utils")
+        stub.disable_logger = lambda: None
+        stub.permute_smiles = lambda s: s
+        sys.modules["coati.containers.rdkit_utils"] = stub
+    shims = {
+        "coati.models.encoding.e3gnn_clip": "ref_e3gnn_clip",
+        "coati.models.encoding.fill_in_middle": "ref_fill_in_middle",
+        "coati.models.encoding.smiles_xformer": "ref_smiles_xformer",
+    }
+    for fullname, key in shims.items():
+        if fullname not in sys.modules:
+            sys.modules[fullname] = load(key)
+    if "coati.models.encoding.tokenizers.trie_tokenizer" not in sys.modules:
+        ref_tokenizer()  # side effect: registers util shim + loads module
+        spec = importlib.util.spec_from_file_location(
+            "coati.models.encoding.tokenizers.trie_tokenizer",
+            f"{REF}/models/encoding/tokenizers/trie_tokenizer.py",
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        sys.modules["coati.models.encoding.tokenizers.trie_tokenizer"] = mod
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_clip_e2e", f"{REF}/models/encoding/clip_e2e.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    _cache["ref_clip_e2e"] = mod
+    return mod
+
+
 def ref_tokenizer(vocab_name: str = "mar_verysimple", n_seq: int = 256, side_tasks: bool = True):
     """Build the reference TrieTokenizer (needs a torch-free shim for
     coati.common.util.colored_background)."""
