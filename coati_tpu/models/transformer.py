@@ -128,12 +128,18 @@ def init_transformer(key: jax.Array, cfg: TransformerConfig) -> TransformerParam
         if cfg.biases
         else None
     )
-    ones = jnp.ones((layers, d), jnp.float32)
-    zeros = jnp.zeros((layers, d), jnp.float32)
+    def ones():
+        # fresh buffer per field: sharing one array across params breaks
+        # donation (the same buffer would be donated twice)
+        return jnp.ones((layers, d), jnp.float32)
+
+    def zeros():
+        return jnp.zeros((layers, d), jnp.float32)
+
     blocks = BlockParams(
-        ln1_scale=ones, ln1_bias=zeros,
+        ln1_scale=ones(), ln1_bias=zeros(),
         w_attn=w_attn, b_attn=b_attn, w_proj=w_proj, b_proj=b_proj,
-        ln2_scale=ones, ln2_bias=zeros,
+        ln2_scale=ones(), ln2_bias=zeros(),
         w_fc=w_fc, b_fc=b_fc, w_out=w_out, b_out=b_out,
     )
     return TransformerParams(

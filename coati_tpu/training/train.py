@@ -1,0 +1,403 @@
+"""Distributed CLIP + autoregressive pretraining.
+
+TPU-native replacement for the reference DDP loop
+(coati/training/train_coati.py:60-439):
+
+  * one process per HOST (not per chip); the `data` mesh covers all
+    devices, multi-host via jax.distributed.initialize;
+  * the train step runs under `shard_map`: each shard encodes its local
+    rows, `lax.all_gather`s embeddings over the mesh so the CLIP loss
+    spans the GLOBAL batch (replacing the custom differentiable NCCL
+    all_gather, coati/models/autograd_funs/autograd_funs.py:5-25 — JAX AD
+    emits the reduce-scatter backward automatically), and gradients are
+    `lax.pmean`-averaged (replacing DDP allreduce);
+  * optax AdamW (betas 0.9/0.99, eps 1e-8, wd 0.1) + global-norm clip,
+    cosine-annealed per epoch, matching train_coati.py:145-152, 276;
+  * loss = ar_loss + clip_loss * log2(vocab) (train_coati.py:87, 267-272);
+  * checkpoints are model documents with the reference envelope
+    (train_args / model_kwargs / offline_loss / token counters).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Dict, Iterator, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+from coati_tpu.models import coati as F
+from coati_tpu.models.coati import CoatiConfig, CoatiParams, init_coati
+from coati_tpu.models.io import params_to_state, serialize_model
+from coati_tpu.parallel.mesh import make_mesh, replicate_params, shard_batch
+from coati_tpu.tokenizers import get_vocab
+from coati_tpu.tokenizers.trie_tokenizer import TrieTokenizer
+from coati_tpu.training.config import TrainConfig
+from coati_tpu.training.logger import COATILogger
+
+
+def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.clip_by_global_norm(config.clip_grad),
+        optax.inject_hyperparams(optax.adamw)(
+            learning_rate=config.lr,
+            b1=0.9,
+            b2=0.99,
+            eps=1e-8,
+            weight_decay=config.weight_decay,
+        ),
+    )
+
+
+def cosine_lr(config: TrainConfig, epoch: int) -> float:
+    """torch CosineAnnealingLR(T_max=n_epochs, eta_min=0) stepped per epoch."""
+    return 0.5 * config.lr * (1.0 + np.cos(np.pi * epoch / config.n_epochs))
+
+
+def set_learning_rate(opt_state, lr: float):
+    """Non-mutating update of the injected learning rate (the optimizer is
+    optax.chain(clip, inject_hyperparams(adamw)))."""
+    inject_state = opt_state[1]
+    hp = dict(inject_state.hyperparams)
+    hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    return (opt_state[0], inject_state._replace(hyperparams=hp)) + tuple(
+        opt_state[2:]
+    )
+
+
+def model_config_from_train_config(config: TrainConfig, n_tok: int) -> CoatiConfig:
+    return CoatiConfig(
+        n_layer_e3gnn=config.n_layer_e3gnn,
+        n_layer_xformer=config.n_layer_xformer,
+        n_hidden_xformer=config.n_hidden_xformer,
+        n_hidden_e3nn=config.n_hidden_e3nn,
+        msg_cutoff_e3nn=config.msg_cutoff_e3nn,
+        n_embd_common=config.n_embd_common,
+        n_head=config.n_head,
+        n_seq=config.max_n_seq,
+        n_tok=n_tok,
+        biases=config.biases,
+        torch_emb=config.torch_emb,
+        norm_clips=config.norm_clips,
+        norm_embed=config.norm_embed,
+        token_mlp=config.token_mlp,
+        use_point_encoder=config.do_clip,
+        dtype=config.dtype,
+    )
+
+
+def make_train_step(
+    mesh,
+    model_cfg: CoatiConfig,
+    optimizer: optax.GradientTransformation,
+    *,
+    stop_token: int,
+    unk_token: int,
+    p_clip_emb_smi: float,
+    token_entropy_unit: float,
+    do_clip: bool,
+    axis: str = "data",
+    is_training: bool = True,
+):
+    """Build the jitted SPMD train step.
+
+    Per shard: forward -> local AR loss; all-gather embeddings -> global
+    CLIP loss; grads pmean'd over the mesh. Returns
+    (params, opt_state, rng, batch) -> (params, opt_state, metrics).
+    """
+
+    def local_loss(params, rng, batch):
+        h_e3gnn, h_smiles, logits, bad_rows = F.forward(
+            params,
+            model_cfg,
+            rng,
+            batch["raw_tokens"],
+            batch["tokens"],
+            batch["atoms"],
+            batch["coords"],
+            stop_token,
+            unk_token,
+            p_clip_emb_smi,
+        )
+        ar = F.ar_loss_fn(logits, batch["y_next"])
+        if do_clip:
+            # global contrastive batch over the mesh (ICI collectives)
+            all_hs = jax.lax.all_gather(h_smiles, axis, axis=0, tiled=True)
+            all_he = jax.lax.all_gather(h_e3gnn, axis, axis=0, tiled=True)
+            all_bad = jax.lax.all_gather(bad_rows, axis, axis=0, tiled=True)
+            cl = F.clip_loss(all_hs, all_he, all_bad)
+            loss = ar + cl * token_entropy_unit
+        else:
+            cl = jnp.zeros(())
+            loss = ar
+        return loss, (ar, cl)
+
+    def shard_step(params, opt_state, rng, batch):
+        # decorrelate the per-shard clip-token choice like per-rank torch
+        # RNG in the reference
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+        if is_training:
+            (loss, (ar, cl)), grads = jax.value_and_grad(
+                local_loss, has_aux=True
+            )(params, rng, batch)
+            grads = jax.lax.pmean(grads, axis)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+        else:
+            loss, (ar, cl) = local_loss(params, rng, batch)
+        metrics = jax.lax.pmean(
+            {"loss": loss, "ar_loss": ar, "clip_loss": cl}, axis
+        )
+        return params, opt_state, metrics
+
+    batch_spec = {
+        "raw_tokens": P(axis),
+        "tokens": P(axis),
+        "y_next": P(axis),
+        "atoms": P(axis),
+        "coords": P(axis),
+    }
+    stepped = shard_map(
+        shard_step,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), batch_spec),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    # donate params/opt_state only when they are actually replaced;
+    # the eval step returns its inputs untouched and callers keep them
+    donate = (0, 1) if is_training else ()
+    return jax.jit(stepped, donate_argnums=donate)
+
+
+def train_autoencoder(
+    config: TrainConfig,
+    dataset,
+    mesh=None,
+    logger: Optional[COATILogger] = None,
+    max_steps_per_epoch: Optional[int] = None,
+) -> Tuple[CoatiParams, dict]:
+    """Full pretraining loop (reference train_autoencoder,
+    train_coati.py:60-439). `dataset` must expose get_data_pipe(...)
+    (COATI_dataset or compatible)."""
+    is_main = jax.process_index() == 0
+    mesh = mesh or make_mesh()
+    n_shards = mesh.devices.size
+    tokenizer = TrieTokenizer(
+        n_seq=config.n_seq, **get_vocab(config.tokenizer_vocab)
+    )
+    token_entropy_unit = float(np.log(tokenizer.n_token) / np.log(2.0))
+
+    model_cfg = model_config_from_train_config(config, tokenizer.n_token)
+    model_kwargs = {
+        "n_layer_xformer": config.n_layer_xformer,
+        "n_layer_e3gnn": config.n_layer_e3gnn,
+        "n_hidden_e3nn": config.n_hidden_e3nn,
+        "n_hidden_xformer": config.n_hidden_xformer,
+        "n_embd_common": config.n_embd_common,
+        "biases": config.biases,
+        "n_head": config.n_head,
+        "n_seq": config.max_n_seq,
+        "n_tok": tokenizer.n_token,
+        "torch_emb": config.torch_emb,
+        "norm_clips": config.norm_clips,
+        "norm_embed": config.norm_embed,
+        "token_mlp": config.token_mlp,
+        "use_point_encoder": config.do_clip,
+    }
+
+    params = init_coati(jax.random.PRNGKey(0), model_cfg)
+    optimizer = make_optimizer(config)
+    n_toks = 0
+    ngrad_updates = 0
+    offline_losses = {"batch_losses": [], "ar_losses": [], "clip_losses": []}
+
+    if config.resume_document is not None:
+        from coati_tpu.models.io import load_model_doc, params_from_state
+        from coati_tpu.models.convert import convert_coati, strip_module_prefix
+
+        doc = load_model_doc(config.resume_document)
+        n_toks = doc.get("n_toks_processed", 0)
+        ngrad_updates = doc.get("n_grads_processed", 0)
+        sd = strip_module_prefix(doc["model"])
+        if isinstance(next(iter(sd.values())), dict):
+            loaded = params_from_state(model_cfg, sd)
+        else:
+            loaded = convert_coati(sd, model_cfg)
+        if config.load_transformer_only:
+            params = params.replace(
+                xformer=loaded.xformer, smiles_to_clip=loaded.smiles_to_clip
+            )
+        else:
+            params = loaded
+        print("Loaded from checkpoint. ")
+
+    params = replicate_params(mesh, params)
+    opt_state = optimizer.init(params)
+
+    step_train = make_train_step(
+        mesh, model_cfg, optimizer,
+        stop_token=tokenizer.stop_token,
+        unk_token=tokenizer.unk_token,
+        p_clip_emb_smi=config.p_clip_emb_smi,
+        token_entropy_unit=token_entropy_unit,
+        do_clip=config.do_clip,
+        is_training=True,
+    )
+    step_eval = make_train_step(
+        mesh, model_cfg, optimizer,
+        stop_token=tokenizer.stop_token,
+        unk_token=tokenizer.unk_token,
+        p_clip_emb_smi=config.p_clip_emb_smi,
+        token_entropy_unit=token_entropy_unit,
+        do_clip=config.do_clip,
+        is_training=False,
+    )
+
+    from coati_tpu.data.xform import clip_ar_xform
+
+    def xform_routine(batch):
+        return clip_ar_xform(
+            batch,
+            tokenizer=tokenizer,
+            p_dataset=config.p_dataset,
+            p_formula=config.p_formula,
+            p_fim=config.p_fim,
+            p_graph=config.p_graph,
+            p_clip=config.p_clip,
+            p_clip_cut=config.p_clip_cut,
+            p_randsmiles=config.p_randsmiles,
+        )
+
+    rng = jax.random.PRNGKey(1)
+    results = {"epochs": [], "losses": [], "best_test": 1e10, "best_epoch": 0,
+               "best_params": None}
+
+    def checkpoint(tags):
+        nonlocal ngrad_updates
+        blob = serialize_model(
+            train_args=config.as_dict(),
+            dataset_summary=getattr(dataset, "summary", {}),
+            model_state=params_to_state(params),
+            model_kwargs=model_kwargs,
+            optimizer_state=None,
+            n_toks_processed=n_toks,
+            n_grads_processed=ngrad_updates,
+            offline_loss=offline_losses,
+        )
+        if logger is not None:
+            logger.log_model_document(blob, tags=tags)
+
+    def do_epoch(epoch: int, partition: str) -> Optional[float]:
+        nonlocal rng, params, opt_state, n_toks, ngrad_updates
+        t0 = time.time()
+        total_loss, counter, loss_arr, ng = 0.0, 0, [], 0
+        # global batch = per-device batch * n_shards, matching the
+        # reference's per-GPU batch semantics
+        pipe = dataset.get_data_pipe(
+            batch_size=config.batch_size * n_shards,
+            partition=partition,
+            required_fields=["smiles"],
+            xform_routine=xform_routine,
+        )
+        for i, batch in enumerate(pipe):
+            if max_steps_per_epoch is not None and i >= max_steps_per_epoch:
+                break
+            if batch["tokens"].shape[0] != batch["atoms"].shape[0]:
+                print("a row was lost, skipping batch")
+                continue
+            device_batch = shard_batch(
+                mesh,
+                {k: batch[k] for k in ("raw_tokens", "tokens", "y_next", "atoms", "coords")},
+            )
+            rng, step_rng = jax.random.split(rng)
+            if partition == "train":
+                params, opt_state, metrics = step_train(
+                    params, opt_state, step_rng, device_batch
+                )
+            else:
+                _, _, metrics = step_eval(params, opt_state, step_rng, device_batch)
+            loss = float(metrics["loss"])
+            ar = float(metrics["ar_loss"])
+            cl = float(metrics["clip_loss"])
+
+            bsz = batch["tokens"].shape[0]
+            if is_main:
+                ngrad_updates += bsz
+                ng += bsz
+                n_toks += int((batch["tokens"] > 0).sum())
+                if ngrad_updates > config.ngrad_to_save:
+                    ngrad_updates = 0
+                    checkpoint({"train_epoch": str(epoch), "dataset_epoch": str(epoch)})
+                if logger is not None and i % config.log_batch_loss == 0:
+                    offline_losses["batch_losses"].append(
+                        logger.log_metric(
+                            f"{partition}_batch_loss", loss,
+                            dataset_epoch=epoch, step=i, tags={"n_toks": n_toks},
+                        )
+                    )
+                    offline_losses["ar_losses"].append(
+                        logger.log_metric(
+                            f"{partition}_ar_loss", ar,
+                            dataset_epoch=epoch, step=i, tags={"n_toks": n_toks},
+                        )
+                    )
+                    if config.do_clip:
+                        offline_losses["clip_losses"].append(
+                            logger.log_metric(
+                                f"{partition}_clip_loss", cl,
+                                dataset_epoch=epoch, step=i, tags={"n_toks": n_toks},
+                            )
+                        )
+                if i % config.log_interval == 0:
+                    prefix = "" if partition == "train" else f">> {partition} \t"
+                    recent = loss_arr[-10:] or [loss]
+                    print(
+                        prefix
+                        + f"Epoch {epoch} \t it {i} \t toks {n_toks // 10**6}m "
+                        f"\t ar_l: {ar:.2f}, clip_l {cl:.6f}, "
+                        f"loss {sum(recent) / len(recent):.4f} \t "
+                        f"grads_ps {ng / max(time.time() - t0, 1e-6):.4f}"
+                    )
+            total_loss += loss * bsz
+            counter += bsz
+            loss_arr.append(loss)
+        if counter == 0:
+            return None
+        if is_main:
+            print(f"epoch completed in {ng} grads and {time.time() - t0} seconds")
+            if logger is not None:
+                logger.log_metric(
+                    f"{partition} epoch mean loss", total_loss / counter,
+                    dataset_epoch=epoch,
+                )
+        return total_loss / counter
+
+    for epoch in range(config.n_epochs):
+        opt_state = set_learning_rate(opt_state, cosine_lr(config, epoch))
+        do_epoch(epoch, "train")
+        if epoch % config.test_interval == 0 and epoch > 0 and is_main:
+            test_loss = do_epoch(epoch, "test")
+            if test_loss is None:
+                continue
+            results["epochs"].append(epoch)
+            results["losses"].append(test_loss)
+            if test_loss < results["best_test"]:
+                results["best_test"] = test_loss
+                results["best_epoch"] = epoch
+                results["best_params"] = jax.device_get(params)
+            print(f"test loss: {test_loss:.4f} \t epoch {epoch}")
+            print(
+                f"Best: test loss: {results['best_test']:.4f} \t "
+                f"epoch {results['best_epoch']}"
+            )
+
+    if is_main:
+        checkpoint({"best": "best"})
+    return params, results
