@@ -247,6 +247,57 @@ class COATI:
             for row in out
         ]
 
+    # ------------------------------------------------- fingerprint heads
+    def get_fp_pred_v2(self, token_indices, tokenizer: TrieTokenizer, fp_name: str):
+        """Fingerprint logits from the SMILES clip token
+        (clip_fp_e2e.py:521-527)."""
+        h = self.encode_tokens(token_indices, tokenizer)
+        h_tok = _clip_to_token_jit(self.params, self.config, h)
+        head = self.params.fp_heads[fp_name]
+        return h_tok @ head.w + head.b
+
+    def get_fp_pred(self, token_indices, tokenizer: TrieTokenizer, atoms, coords,
+                    fp_name: str):
+        """Joint smiles/point fingerprint logits (clip_fp_e2e.py:509-519)."""
+        h_s = _clip_to_token_jit(
+            self.params, self.config, self.encode_tokens(token_indices, tokenizer)
+        )
+        h_p = _clip_to_token_jit(
+            self.params, self.config, self.encode_points(atoms, coords)
+        )
+        head = self.params.fp_heads[fp_name]
+        return ((h_s + h_p) / 2.0) @ head.w + head.b
+
+    # --------------------------------------------- graph-token generation
+    def smiles_to_graph_batch(
+        self, smiles: Sequence[str], tokenizer: TrieTokenizer,
+        inv_temp: float = 2.0, k: int = 100,
+    ) -> List[str]:
+        """Generate [GRAPH] token strings conditioned on SMILES prefixes
+        (clip_fp_e2e.py:747-769)."""
+        prefixes = [
+            "[PREFIX][SMILES]" + s + "[GRAPH][SUFFIX][MIDDLE]" for s in smiles
+        ]
+        return self.complete_batch(
+            prefixes, tokenizer, inv_temp=inv_temp, k=k,
+            keep_special=True, de_fim=False,
+        )
+
+    def smiles_to_graph(self, smiles: str, tokenizer, inv_temp=2.0, k=100) -> str:
+        return self.smiles_to_graph_batch([smiles], tokenizer, inv_temp, k)[0]
+
+    def prefix_generate_batch(
+        self, prefixes: Sequence[str], tokenizer: TrieTokenizer,
+        inv_temp: float = 2.0, k: int = 100,
+        keep_special: bool = False, de_fim: bool = True,
+    ) -> List[str]:
+        """FIM-style prefix completion (clip_fp_e2e.py:722-745)."""
+        return self.complete_batch(
+            ["[PREFIX]" + p + "[SUFFIX][MIDDLE]" for p in prefixes],
+            tokenizer, inv_temp=inv_temp, k=k,
+            keep_special=keep_special, de_fim=de_fim,
+        )
+
     # -------------------------------------------------------- likelihood
     def hclip_and_tokens_to_likelihood(
         self, hclip, smiles: str, tokenizer: TrieTokenizer

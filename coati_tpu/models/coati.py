@@ -53,6 +53,8 @@ class CoatiConfig:
     token_mlp: bool = struct.field(pytree_node=False, default=True)
     use_point_encoder: bool = struct.field(pytree_node=False, default=True)
     old_architecture: bool = struct.field(pytree_node=False, default=False)
+    # fingerprint-variant head map, e.g. (("morgan", 2048),); None = no heads
+    fp_map: Optional[tuple] = struct.field(pytree_node=False, default=None)
     # REFERENCE QUIRK: e3gnn_clip stores msg_cutoff but never forwards it
     # to its e_gcl_sparse layers, which silently use their default of 5.0
     # (e3gnn_clip.py:91-104 vs e_gcl_sparse.py:103). Every published
@@ -119,6 +121,14 @@ def apply_projection(
 
 
 @struct.dataclass
+class FpHead:
+    """One linear fingerprint/descriptor head (clip_fp_e2e.py:410-412)."""
+
+    w: jnp.ndarray
+    b: jnp.ndarray
+
+
+@struct.dataclass
 class CoatiParams:
     xformer: TransformerParams
     point_encoder: Optional[EgnnParams]
@@ -126,6 +136,8 @@ class CoatiParams:
     smiles_to_clip: ProjParams
     token_w: Optional[jnp.ndarray]  # point_clip_to_special_tokens Linear
     token_b: Optional[jnp.ndarray]
+    # fingerprint-variant heads (clip_fp_e2e), e.g. {"morgan": FpHead}
+    fp_heads: Optional[dict] = None
 
 
 def init_coati(key: jax.Array, cfg: CoatiConfig) -> CoatiParams:
@@ -157,6 +169,14 @@ def init_coati(key: jax.Array, cfg: CoatiConfig) -> CoatiParams:
         token_w, token_b = torch_linear_init(kt, cfg.embed_dim, cfg.embed_dim)
     else:
         token_w = token_b = None
+    fp_heads = None
+    if cfg.fp_map:
+        fp_heads = {}
+        for i, (name, n_bits) in enumerate(cfg.fp_map):
+            w, b = torch_linear_init(
+                jax.random.fold_in(kt, i + 1), cfg.embed_dim, n_bits
+            )
+            fp_heads[name] = FpHead(w=w, b=b)
     return CoatiParams(
         xformer=xformer,
         point_encoder=point_encoder,
@@ -164,6 +184,7 @@ def init_coati(key: jax.Array, cfg: CoatiConfig) -> CoatiParams:
         smiles_to_clip=smiles_to_clip,
         token_w=token_w,
         token_b=token_b,
+        fp_heads=fp_heads,
     )
 
 
@@ -202,6 +223,28 @@ def clip_to_special_token(params: CoatiParams, h_clip: jnp.ndarray) -> jnp.ndarr
     if params.token_w is None:
         return h_clip
     return linear(jax.nn.silu(h_clip), params.token_w, params.token_b)
+
+
+def fp_predictions(params: CoatiParams, cfg: CoatiConfig, clip_token: jnp.ndarray):
+    """Fingerprint/descriptor logits from a (post-token-MLP) clip token
+    (clip_fp_e2e.py:803-806: heads read the smiles clip token)."""
+    if not params.fp_heads:
+        return {}
+    return {
+        name: linear(clip_token, head.w, head.b)
+        for name, head in params.fp_heads.items()
+    }
+
+
+def fp_loss_fn(fp_preds: dict, fp_targets: dict) -> jnp.ndarray:
+    """Mean BCE-with-logits over all fingerprint heads (binary bits)."""
+    total = jnp.zeros(())
+    for name, logits in fp_preds.items():
+        y = fp_targets[name].astype(jnp.float32)
+        logp = jax.nn.log_sigmoid(logits)
+        lognp = jax.nn.log_sigmoid(-logits)
+        total = total + jnp.mean(-(y * logp + (1 - y) * lognp))
+    return total
 
 
 # --------------------------------------------------------------- losses
@@ -280,6 +323,37 @@ def forward(
     logits = linear(hidden, params.xformer.lm_head, None, xcfg.mm_precision)
     bad_rows = jnp.sum(augmented_tokens, axis=-1) < 1
     return h_e3gnn, h_smiles, logits, bad_rows
+
+
+def forward_fp(
+    params: CoatiParams,
+    cfg: CoatiConfig,
+    rng: jax.Array,
+    raw_tokens: jnp.ndarray,
+    augmented_tokens: jnp.ndarray,
+    atoms: jnp.ndarray,
+    coords: jnp.ndarray,
+    stop_token: int,
+    unk_token: int,
+    p_clip_emb_smi: float = 0.4,
+):
+    """Fingerprint-variant training forward (clip_fp_e2e.py:771-812):
+    also returns fp_preds computed from the smiles clip token."""
+    h_e3gnn = encode_points(params, cfg, atoms, coords)
+    h_smiles = encode_tokens(params, cfg, raw_tokens, stop_token)
+    point_tok = clip_to_special_token(params, h_e3gnn)
+    smiles_tok = clip_to_special_token(params, h_smiles)
+    pick_point = jax.random.uniform(rng, (h_e3gnn.shape[0], 1)) > p_clip_emb_smi
+    clip_token = jnp.where(pick_point, point_tok, smiles_tok)
+    fp_preds = fp_predictions(params, cfg, smiles_tok)
+
+    xcfg = cfg.xformer_config
+    hidden = forward_hidden(
+        params.xformer, xcfg, augmented_tokens, clip_token, unk_token
+    )
+    logits = linear(hidden, params.xformer.lm_head, None, xcfg.mm_precision)
+    bad_rows = jnp.sum(augmented_tokens, axis=-1) < 1
+    return h_e3gnn, h_smiles, logits, bad_rows, fp_preds
 
 
 def tokens_likelihood(

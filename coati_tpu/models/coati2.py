@@ -1,0 +1,257 @@
+"""COATI2 inference model (SMILES-transformer-only, SwiGLU projections).
+
+Parity target: coati/models/simple_coati2/transformer_only.py
+(COATI_Smiles_Inference :43, SwiGLU :37, SwiGLUResNet :19) and its loader
+simple_coati2/io.py:21-84. The COATI2 transformer trunk is a clone of the
+COATI1 one (verified by diff), so it reuses coati_tpu.models.transformer;
+COATI2 adds 512-d embeddings, SwiGLU projection heads, and the
+property-conditioning token vocabulary (coati2_12_12: [PROPS]…[ENDPROPS],
+[IntMolLogP], [PercentQED], [TPSA], [CHIRAL]/[RACEMIC], …) for
+controlled generation.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from coati_tpu.models.sampler import generate_tokens
+from coati_tpu.models.transformer import (
+    TransformerConfig,
+    TransformerParams,
+    forward_hidden,
+    init_transformer,
+    stop_token_hidden,
+)
+from coati_tpu.ops.layers import layer_norm, linear, swiglu, torch_linear_init
+from coati_tpu.tokenizers.trie_tokenizer import TrieTokenizer
+
+
+@struct.dataclass
+class Coati2Config:
+    """Field names mirror the reference constructor
+    (transformer_only.py:49-62)."""
+
+    n_layer_xformer: int = struct.field(pytree_node=False, default=16)
+    n_hidden_xformer: int = struct.field(pytree_node=False, default=256)
+    embed_dim: int = struct.field(pytree_node=False, default=256)
+    n_head: int = struct.field(pytree_node=False, default=16)
+    n_seq: int = struct.field(pytree_node=False, default=80)
+    mlp_dropout: float = struct.field(pytree_node=False, default=0.0)
+    enc_to_coati: str = struct.field(pytree_node=False, default="linear")
+    n_direct_clr: int = struct.field(pytree_node=False, default=64)
+    n_tok: int = struct.field(pytree_node=False, default=4)
+    biases: bool = struct.field(pytree_node=False, default=True)
+    dtype: str = struct.field(pytree_node=False, default="float32")
+    precision: str = struct.field(pytree_node=False, default="default")
+
+    @property
+    def xformer_config(self) -> TransformerConfig:
+        return TransformerConfig(
+            n_layer=self.n_layer_xformer,
+            n_embd=self.n_hidden_xformer,
+            n_head=self.n_head,
+            n_seq=self.n_seq,
+            n_tok=self.n_tok,
+            biases=self.biases,
+            norm_embed=False,
+            dtype=self.dtype,
+            precision=self.precision,
+        )
+
+
+@struct.dataclass
+class SwigluResnetParams:
+    """LayerNorm -> Linear(d, 2d') -> SwiGLU -> Linear(d', d'), + residual."""
+
+    ln_scale: jnp.ndarray
+    ln_bias: jnp.ndarray
+    w1: jnp.ndarray  # (d_in, 2*d_out)
+    b1: jnp.ndarray
+    w2: jnp.ndarray  # (d_out, d_out)
+    b2: jnp.ndarray
+
+
+def apply_swiglu_resnet(p: SwigluResnetParams, x: jnp.ndarray, precision=None):
+    y = layer_norm(x, p.ln_scale, p.ln_bias)
+    y = swiglu(linear(y, p.w1, p.b1, precision))
+    return linear(y, p.w2, p.b2, precision) + x
+
+
+def apply_swiglu_mlp(p: SwigluResnetParams, x: jnp.ndarray, precision=None):
+    """Same stack without the residual (enc_to_coati='swiglu_mlp')."""
+    y = layer_norm(x, p.ln_scale, p.ln_bias)
+    y = swiglu(linear(y, p.w1, p.b1, precision))
+    return linear(y, p.w2, p.b2, precision)
+
+
+def init_swiglu_resnet(key, d_in: int, d_out: int) -> SwigluResnetParams:
+    k1, k2 = jax.random.split(key)
+    w1, b1 = torch_linear_init(k1, d_in, 2 * d_out)
+    w2, b2 = torch_linear_init(k2, d_out, d_out)
+    return SwigluResnetParams(
+        ln_scale=jnp.ones((d_in,), jnp.float32),
+        ln_bias=jnp.zeros((d_in,), jnp.float32),
+        w1=w1, b1=b1, w2=w2, b2=b2,
+    )
+
+
+@struct.dataclass
+class Coati2Params:
+    xformer: TransformerParams
+    # enc_to_coati='linear': LayerNorm+Linear; swiglu variants use swiglu
+    smiles_to_coati: object  # ProjLinearParams | SwigluResnetParams
+    coati_to_token: SwigluResnetParams
+
+
+@struct.dataclass
+class ProjLinearParams:
+    ln_scale: jnp.ndarray
+    ln_bias: jnp.ndarray
+    w: jnp.ndarray
+    b: jnp.ndarray
+
+
+def init_coati2(key: jax.Array, cfg: Coati2Config) -> Coati2Params:
+    kx, ks, kt = jax.random.split(key, 3)
+    xformer = init_transformer(kx, cfg.xformer_config)
+    if cfg.enc_to_coati == "linear":
+        w, b = torch_linear_init(ks, cfg.n_hidden_xformer, cfg.embed_dim)
+        s2c = ProjLinearParams(
+            ln_scale=jnp.ones((cfg.embed_dim,), jnp.float32),
+            ln_bias=jnp.zeros((cfg.embed_dim,), jnp.float32),
+            w=w, b=b,
+        )
+    elif cfg.enc_to_coati in ("swiglu_mlp", "swiglu_resnet"):
+        s2c = init_swiglu_resnet(ks, cfg.n_hidden_xformer, cfg.embed_dim)
+    else:
+        raise ValueError(f"unknown enc_to_coati {cfg.enc_to_coati!r}")
+    return Coati2Params(
+        xformer=xformer,
+        smiles_to_coati=s2c,
+        coati_to_token=init_swiglu_resnet(kt, cfg.embed_dim, cfg.embed_dim),
+    )
+
+
+def smiles_to_coati(params: Coati2Params, cfg: Coati2Config, h: jnp.ndarray):
+    prec = cfg.xformer_config.mm_precision
+    if cfg.enc_to_coati == "linear":
+        p = params.smiles_to_coati
+        return linear(layer_norm(h, p.ln_scale, p.ln_bias), p.w, p.b, prec)
+    if cfg.enc_to_coati == "swiglu_mlp":
+        return apply_swiglu_mlp(params.smiles_to_coati, h, prec)
+    return apply_swiglu_resnet(params.smiles_to_coati, h, prec)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "stop_token"))
+def _encode_tokens_jit(params: Coati2Params, cfg: Coati2Config, tokens, stop_token):
+    xcfg = cfg.xformer_config
+    hidden = forward_hidden(params.xformer, xcfg, tokens)
+    return smiles_to_coati(params, cfg, stop_token_hidden(hidden, tokens, stop_token))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _coati_to_token_jit(params: Coati2Params, cfg: Coati2Config, h):
+    return apply_swiglu_resnet(
+        params.coati_to_token, h, cfg.xformer_config.mm_precision
+    )
+
+
+class COATI2:
+    """COATI_Smiles_Inference equivalent: invertible 2D-only embedding
+    with SwiGLU heads and property-token conditioning."""
+
+    def __init__(self, params: Coati2Params, config: Coati2Config, seed: int = 0):
+        self.params = params
+        self.config = config
+        self.embed_dim = config.embed_dim
+        self._rng = jax.random.PRNGKey(seed)
+        self._noise = np.random.default_rng(seed)
+
+    def _next_rng(self):
+        self._rng, out = jax.random.split(self._rng)
+        return out
+
+    def encode_tokens(self, token_indices, tokenizer: TrieTokenizer) -> jnp.ndarray:
+        tokens = np.asarray(token_indices, np.int32)
+        assert tokens.ndim == 2
+        return _encode_tokens_jit(
+            self.params, self.config, jnp.asarray(tokens), tokenizer.stop_token
+        )
+
+    def smiles_to_coati_vec(self, smiles, tokenizer: TrieTokenizer) -> np.ndarray:
+        """Convenience: list of SMILES -> (B, embed_dim)."""
+        tokens = [
+            tokenizer.tokenize_text("[SMILES]" + s + "[STOP]", pad=True)
+            for s in smiles
+        ]
+        return np.asarray(self.encode_tokens(np.asarray(tokens, np.int32), tokenizer))
+
+    def hcoati_to_2d_batch(
+        self,
+        h_coati,
+        tokenizer: TrieTokenizer,
+        fill_in_from: str = "[SMILES]",
+        noise_scale: float = 0.0,
+        inv_temp: float = 2.0,
+        k: int = 100,
+        do_suffix: bool = False,
+        keep_special: bool = False,
+        return_tokens: bool = False,
+    ):
+        assert k > 1 or k == 1
+        h = np.asarray(h_coati, np.float32)
+        if noise_scale > 0:
+            h = h + self._noise.normal(scale=noise_scale, size=h.shape).astype(
+                np.float32
+            )
+        h_token = _coati_to_token_jit(self.params, self.config, jnp.asarray(h))
+        suffstr = "[SUFFIX][MIDDLE]" if do_suffix else ""
+        prefix = tokenizer.tokenize_text(
+            "[CLIP][UNK]" + fill_in_from + suffstr, pad=False
+        )
+        b = h.shape[0]
+        total_len = self.config.n_seq
+        tokens0 = np.zeros((b, total_len), np.int32)
+        tokens0[:, : len(prefix)] = prefix
+        out = generate_tokens(
+            self.params.xformer,
+            self.config.xformer_config,
+            self._next_rng(),
+            jnp.asarray(tokens0),
+            jnp.full((b,), len(prefix), jnp.int32),
+            prefill_len=len(prefix),
+            total_len=total_len,
+            stop_token=tokenizer.stop_token,
+            pad_token=tokenizer.pad_token,
+            k=k,
+            inv_temp=inv_temp,
+            inj_payload=h_token,
+            inject_token=tokenizer.unk_token,
+        )
+        out = np.asarray(out)
+        smiles = [tokenizer.decode(list(r), special=keep_special) for r in out]
+        if return_tokens:
+            return smiles, [list(map(int, r)) for r in out]
+        return smiles
+
+    def hcoati_to_2d(
+        self,
+        h_coati,
+        tokenizer: TrieTokenizer,
+        fill_in_from: str = "[SMILES]",
+        noise_scale: float = 0.0,
+        do_suffix: bool = False,
+        inv_temp: float = 2.0,
+        k: int = 100,
+    ) -> str:
+        h = np.asarray(h_coati, np.float32).reshape(1, -1)
+        return self.hcoati_to_2d_batch(
+            h, tokenizer, fill_in_from, noise_scale, inv_temp, k, do_suffix
+        )[0]

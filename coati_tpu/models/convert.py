@@ -16,7 +16,13 @@ from typing import Dict, Mapping, Optional
 import numpy as np
 import jax.numpy as jnp
 
-from coati_tpu.models.coati import CoatiConfig, CoatiParams, ProjParams
+from coati_tpu.models.coati import CoatiConfig, CoatiParams, FpHead, ProjParams
+from coati_tpu.models.coati2 import (
+    Coati2Config,
+    Coati2Params,
+    ProjLinearParams,
+    SwigluResnetParams,
+)
 from coati_tpu.models.egnn import EgnnConfig, EgnnLayerParams, EgnnParams
 from coati_tpu.models.transformer import (
     BlockParams,
@@ -207,6 +213,24 @@ def convert_coati(sd: Mapping[str, object], cfg: CoatiConfig) -> CoatiParams:
         token_b = _arr(sd, "point_clip_to_special_tokens.1.bias")
     else:  # token_mlp=False -> Identity
         token_w = token_b = None
+    # fingerprint-variant heads: fp_networks.{name}.weight (clip_fp_e2e)
+    fp_names = sorted(
+        {
+            k.split(".")[1]
+            for k in sd
+            if k.startswith("fp_networks.") and k.endswith(".weight")
+        }
+    )
+    fp_heads = (
+        {
+            name: FpHead(
+                w=_lin_w(sd, f"fp_networks.{name}.weight"),
+                b=_arr(sd, f"fp_networks.{name}.bias"),
+            )
+            for name in fp_names
+        }
+        or None
+    )
     return CoatiParams(
         xformer=xformer,
         point_encoder=point_encoder,
@@ -214,7 +238,76 @@ def convert_coati(sd: Mapping[str, object], cfg: CoatiConfig) -> CoatiParams:
         smiles_to_clip=smiles_to_clip,
         token_w=token_w,
         token_b=token_b,
+        fp_heads=fp_heads,
     )
+
+
+def _convert_swiglu_resnet(sd: Mapping[str, object], prefix: str) -> SwigluResnetParams:
+    """SwiGLUResNet.net = Sequential(LN, Dropout, Linear, SwiGLU, Linear)
+    -> params at .net.0 / .net.2 / .net.4 (transformer_only.py:19-34)."""
+    return SwigluResnetParams(
+        ln_scale=_arr(sd, f"{prefix}.net.0.weight"),
+        ln_bias=_arr(sd, f"{prefix}.net.0.bias"),
+        w1=_lin_w(sd, f"{prefix}.net.2.weight"),
+        b1=_arr(sd, f"{prefix}.net.2.bias"),
+        w2=_lin_w(sd, f"{prefix}.net.4.weight"),
+        b2=_arr(sd, f"{prefix}.net.4.bias"),
+    )
+
+
+def convert_coati2(sd: Mapping[str, object], cfg: Coati2Config) -> Coati2Params:
+    """Convert a COATI_Smiles_Inference state_dict (simple_coati2)."""
+    sd = strip_module_prefix(sd)
+    xformer = convert_transformer(subtree(sd, "xformer"), cfg.xformer_config)
+    if cfg.enc_to_coati == "linear":
+        # Sequential(LayerNorm(embed_dim), Linear) (transformer_only.py:86-89)
+        s2c = ProjLinearParams(
+            ln_scale=_arr(sd, "smiles_to_coati.0.weight"),
+            ln_bias=_arr(sd, "smiles_to_coati.0.bias"),
+            w=_lin_w(sd, "smiles_to_coati.1.weight"),
+            b=_arr(sd, "smiles_to_coati.1.bias"),
+        )
+    elif cfg.enc_to_coati == "swiglu_mlp":
+        # Sequential(LN, Linear, SwiGLU, Linear) -> .0/.1/.3 (:92-97)
+        s2c = SwigluResnetParams(
+            ln_scale=_arr(sd, "smiles_to_coati.0.weight"),
+            ln_bias=_arr(sd, "smiles_to_coati.0.bias"),
+            w1=_lin_w(sd, "smiles_to_coati.1.weight"),
+            b1=_arr(sd, "smiles_to_coati.1.bias"),
+            w2=_lin_w(sd, "smiles_to_coati.3.weight"),
+            b2=_arr(sd, "smiles_to_coati.3.bias"),
+        )
+    elif cfg.enc_to_coati == "swiglu_resnet":
+        s2c = _convert_swiglu_resnet(sd, "smiles_to_coati")
+    else:
+        raise ValueError(f"unknown enc_to_coati {cfg.enc_to_coati!r}")
+    return Coati2Params(
+        xformer=xformer,
+        smiles_to_coati=s2c,
+        coati_to_token=_convert_swiglu_resnet(sd, "coati_to_token"),
+    )
+
+
+_COATI2_KWARG_FIELDS = (
+    "n_layer_xformer",
+    "n_hidden_xformer",
+    "embed_dim",
+    "n_head",
+    "n_seq",
+    "mlp_dropout",
+    "enc_to_coati",
+    "n_direct_clr",
+    "n_tok",
+    "biases",
+)
+
+
+def coati2_config_from_model_kwargs(
+    model_kwargs: Mapping[str, object], **overrides
+) -> Coati2Config:
+    kwargs = {k: model_kwargs[k] for k in _COATI2_KWARG_FIELDS if k in model_kwargs}
+    kwargs.update(overrides)
+    return Coati2Config(**kwargs)
 
 
 _COATI_KWARG_FIELDS = (

@@ -93,7 +93,9 @@ def load_e3gnn_smiles_clip_e2e(
         )
         params = params_from_state(cfg, sd)
 
-    if model_type != "default":
+    # fp heads are auto-detected from the state_dict, so "fp" documents
+    # load through the same path (coati/models/io/coati.py:82-85)
+    if model_type not in ("default", "fp"):
         raise ValueError(f"unknown model type {model_type!r}")
 
     tokenizer_vocab = doc["train_args"]["tokenizer_vocab"]
@@ -103,6 +105,32 @@ def load_e3gnn_smiles_clip_e2e(
         print("NTokens: ", doc.get("n_toks_processed"))
         print("Model kwargs: ", model_kwargs)
     return COATI(params, cfg), tokenizer
+
+
+def load_coati2(
+    doc_url: str,
+    device: Optional[str] = None,
+    freeze: bool = True,
+    old_architecture: bool = False,
+    force_cpu: bool = False,
+):
+    """Load a COATI2 model document -> (COATI2, TrieTokenizer).
+    Signature-compatible with coati/models/simple_coati2/io.py:21-84."""
+    del device, freeze, old_architecture, force_cpu
+    from coati_tpu.models.coati2 import COATI2
+    from coati_tpu.models.convert import (
+        coati2_config_from_model_kwargs,
+        convert_coati2,
+    )
+
+    print(f"Loading model from {doc_url}")
+    doc = load_model_doc(doc_url)
+    cfg = coati2_config_from_model_kwargs(doc["model_kwargs"])
+    params = convert_coati2(strip_module_prefix(doc["model"]), cfg)
+    tokenizer_vocab = doc["train_args"]["tokenizer_vocab"]
+    print(f"Loading tokenizer {tokenizer_vocab} from {doc_url}")
+    tokenizer = TrieTokenizer(n_seq=cfg.n_seq, **get_vocab(tokenizer_vocab))
+    return COATI2(params, cfg), tokenizer
 
 
 def load_offline_loss(doc_url: str):

@@ -98,6 +98,34 @@ def load_ref_clip_e2e():
     return mod
 
 
+def load_ref_module(fullname: str):
+    """Import a reference module through the real coati package (the
+    reference's __init__.py files are all empty), with rdkit-touching
+    imports stubbed. Use for modules with relative imports
+    (e.g. clip_fp_e2e)."""
+    import types
+
+    if fullname in sys.modules:
+        return sys.modules[fullname]
+    if "coati.containers.rdkit_utils" not in sys.modules:
+        stub = types.ModuleType("coati.containers.rdkit_utils")
+        stub.disable_logger = lambda: None
+        stub.permute_smiles = lambda s: s
+        sys.modules["coati.containers.rdkit_utils"] = stub
+    if "coati.common.s3" not in sys.modules:  # pulls boto3/pytz otherwise
+        s3stub = types.ModuleType("coati.common.s3")
+        s3stub.cache_read = open
+        s3stub.download_from_s3 = lambda uri: uri
+        s3stub.copy_bucket_dir_from_s3 = lambda *a, **k: None
+        sys.modules["coati.common.s3"] = s3stub
+    root = "/root/reference"
+    if root not in sys.path:
+        sys.path.insert(0, root)
+    import importlib
+
+    return importlib.import_module(fullname)
+
+
 def ref_tokenizer(vocab_name: str = "mar_verysimple", n_seq: int = 256, side_tasks: bool = True):
     """Build the reference TrieTokenizer (needs a torch-free shim for
     coati.common.util.colored_background)."""
