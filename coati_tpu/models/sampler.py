@@ -50,6 +50,7 @@ from coati_tpu.ops.sampling import sample_top_k
         "pad_token",
         "k",
         "inject_token",
+        "approx_top_k",
     ),
 )
 def generate_tokens(
@@ -67,6 +68,7 @@ def generate_tokens(
     inv_temp: float = 2.0,
     inj_payload: Optional[jnp.ndarray] = None,  # (B, D)
     inject_token: Optional[int] = None,
+    approx_top_k: bool = True,  # TPU-fast threshold (see ops/sampling.py)
 ) -> jnp.ndarray:
     """Returns (B, total_len) int32 tokens including the prefix."""
     b = prefix_tokens.shape[0]
@@ -95,7 +97,9 @@ def generate_tokens(
     def body(state):
         pos, tokens, stopped, cache, last_logits = state
         step_rng = jax.random.fold_in(rng, pos)
-        sampled = sample_top_k(step_rng, last_logits, k, inv_temp).astype(jnp.int32)
+        sampled = sample_top_k(
+            step_rng, last_logits, k, inv_temp, approx=approx_top_k
+        ).astype(jnp.int32)
         sampled = jnp.where(stopped, pad_token, sampled)
         # rows whose own prefix extends past `pos` keep their prefix token
         in_prefix = pos < prefix_len

@@ -1,0 +1,99 @@
+"""SELFIES tokenization support (optional `selfies` dependency).
+
+Parity target: coati/models/encoding/clip_e2e_selfies.py:13-31
+(selfies_pre_tokenize / to_selfies_tokenizer) — the tokenizer's
+pre_tokenize is rebound so non-special text routes through
+selfies.encoder before vocab matching; plus the selfies training xform
+variant (clip_ar_xform_selfies :34-315) which consumes pre-computed
+'selfies'/'rand_selfies' dataset columns.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+try:
+    import selfies as sf
+
+    HAS_SELFIES = True
+except ImportError:
+    HAS_SELFIES = False
+
+from coati_tpu.tokenizers.trie_tokenizer import TrieTokenizer
+
+
+def require_selfies() -> None:
+    if not HAS_SELFIES:
+        raise ImportError(
+            "the `selfies` package is required for SELFIES tokenization "
+            "but is not installed."
+        )
+
+
+def selfies_pre_tokenize(tokenizer: TrieTokenizer, text: str):
+    """Split special tokens first; encode the remaining spans to SELFIES
+    before SMILES-vocab matching."""
+    require_selfies()
+    out = []
+    for piece in tokenizer.special_matcher.split(text):
+        if piece in tokenizer._special_set:
+            out.append(piece)
+        else:
+            out.extend(tokenizer.smiles_matcher.split(sf.encoder(piece)))
+    return out
+
+
+def to_selfies_tokenizer(tokenizer: TrieTokenizer) -> TrieTokenizer:
+    """Rebind pre_tokenize to the SELFIES route (reference monkey-patch
+    pattern, clip_e2e_selfies.py:29-31)."""
+    tokenizer.pre_tokenize = selfies_pre_tokenize.__get__(tokenizer)
+    return tokenizer
+
+
+def selfies_to_smiles(selfies_str: str) -> str:
+    require_selfies()
+    return sf.decoder(selfies_str)
+
+
+def clip_ar_xform_selfies(
+    batch: Dict,
+    tokenizer: TrieTokenizer,
+    p_dataset: float = 0.2,
+    p_formula: float = 0.2,
+    p_fim: float = 0.0,
+    p_graph: float = 0.0,
+    p_clip: float = 0.9,
+    p_clip_cut: float = 0.3,
+    p_randsmiles: float = 0.0,
+    coord_noise: bool = False,
+    pad_width_to: int = 16,
+    rng=None,
+):
+    """SELFIES training xform: identical augmentation logic to
+    clip_ar_xform but sourcing pre-computed 'selfies' / 'rand_selfies'
+    cache columns (clip_e2e_selfies.py:34-315). The tokenizer must be a
+    selfies tokenizer (to_selfies_tokenizer)."""
+    from coati_tpu.data.xform import clip_ar_xform
+
+    sel_batch = dict(batch)
+    # route the precomputed selfies strings through the standard pipeline
+    sel_batch["smiles"] = [str(s) for s in batch["selfies"]]
+    if p_randsmiles > 0 and "rand_selfies" in batch:
+        # random-permutation targets come from the cache, not RDKit
+        sel_batch["rand_smiles"] = [str(s) for s in batch["rand_selfies"]]
+    return clip_ar_xform(
+        sel_batch,
+        tokenizer,
+        p_dataset=p_dataset,
+        p_formula=p_formula,
+        p_fim=p_fim,
+        p_graph=p_graph,
+        p_clip=p_clip,
+        p_clip_cut=p_clip_cut,
+        p_randsmiles=0.0,  # permutations are precomputed for selfies
+        coord_noise=coord_noise,
+        pad_width_to=pad_width_to,
+        rng=rng,
+    )
