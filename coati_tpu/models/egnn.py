@@ -59,6 +59,10 @@ class EgnnConfig:
     precision: str = struct.field(pytree_node=False, default="default")
     # recompute layer activations in backward to bound the (B,N,N,H) peak
     remat: bool = struct.field(pytree_node=False, default=True)
+    # fused Pallas message kernel: never materializes the pairwise
+    # (B,N,N,H) tensor in HBM (TPU + SiLU + hidden%128==0; falls back to
+    # the dense jnp path otherwise)
+    fused_messages: bool = struct.field(pytree_node=False, default=True)
 
     @property
     def in_node_nf(self) -> int:
@@ -176,15 +180,24 @@ def _egnn_layer(
     w_d = layer.edge_w1[2 * hdim]  # (H,)
     hi = jnp.matmul(h, w_i, precision=prec)  # (B, N, H)
     hj = jnp.matmul(h, w_j, precision=prec)
-    e1 = act(
-        hi[:, :, None, :]
-        + hj[:, None, :, :]
-        + d2[..., None] * w_d
-        + layer.edge_b1
-    )  # (B, N, N, H)
-    mij = act(linear(e1, layer.edge_w2, layer.edge_b2, prec))
-    # aggregate messages onto index i, weighted by the smooth cutoff
-    mi = jnp.einsum("bijh,bij->bih", mij, msg_weight.astype(mij.dtype), precision=prec)
+    if cfg.fused_messages and cfg.act_fn == "SiLU":
+        from coati_tpu.ops.pallas.egnn_messages import egnn_messages
+
+        mi = egnn_messages(
+            hi, hj, d2, msg_weight, w_d, layer.edge_b1, layer.edge_w2, layer.edge_b2
+        ).astype(h.dtype)
+    else:
+        e1 = act(
+            hi[:, :, None, :]
+            + hj[:, None, :, :]
+            + d2[..., None] * w_d
+            + layer.edge_b1
+        )  # (B, N, N, H)
+        mij = act(linear(e1, layer.edge_w2, layer.edge_b2, prec))
+        # aggregate messages onto index i, weighted by the smooth cutoff
+        mi = jnp.einsum(
+            "bijh,bij->bih", mij, msg_weight.astype(mij.dtype), precision=prec
+        )
 
     feats = [h, mi] + ([h0] if cfg.residual else [])
     out = linear(jnp.concatenate(feats, axis=-1), layer.node_w1, layer.node_b1, prec)
