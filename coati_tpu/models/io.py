@@ -77,7 +77,8 @@ def load_e3gnn_smiles_clip_e2e(
         model_kwargs.update(override_args)
 
     sd = strip_module_prefix(doc["model"])
-    flat_format = not isinstance(next(iter(sd.values())), dict)
+    # reference state_dicts are flat with dotted keys; ours are nested
+    flat_format = any("." in k for k in sd)
     if flat_format:
         # reference-format flat state_dict (torch tensors or numpy arrays)
         if old_architecture is None:

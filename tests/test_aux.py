@@ -1,0 +1,88 @@
+"""Auxiliary-subsystem tests: logger JSONL schema, orbax checkpoints,
+diagnostics, config round-trip, graft entry points."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from coati_tpu.training.config import TrainConfig, grande_config
+from coati_tpu.training.diagnostics import finite_check, step_timer
+from coati_tpu.training.logger import COATILogger
+
+
+def test_logger_jsonl_schema(tmp_path):
+    logger = COATILogger(
+        model_name="m", output_path=str(tmp_path), model_path=str(tmp_path / "models")
+    )
+    logger.start()
+    ev = logger.log_metric("train_ar_loss", 1.25, dataset_epoch=2, step=7,
+                           tags={"n_toks": 123})
+    assert ev["key"] == "train_ar_loss" and ev["tag_n_toks"] == 123
+    logger.log_metrics({"a": 1, "b": 2}, dataset_epoch=0)
+    url = logger.log_model_document(b"blob", tags={"best": "best"})
+    assert os.path.exists(url)
+    logger.stop()
+    raw = open(logger.log_file).read()
+    events = json.loads(raw.rstrip(",]") + "]" if raw.endswith(",]") else raw[:-2] + "]")
+    assert events[0]["event"] == "metric"
+
+
+def test_grande_config_matches_reference_recipe():
+    cfg = grande_config()
+    assert cfg.n_layer_e3gnn == 5 and cfg.n_hidden_e3nn == 256
+    assert cfg.msg_cutoff_e3nn == 12.0
+    assert cfg.n_layer_xformer == 16 and cfg.n_head == 16
+    assert cfg.n_seq == 80 and cfg.max_n_seq == 250
+    assert cfg.batch_size == 160 and cfg.lr == 5e-4
+    assert cfg.p_clip == 0.9 and cfg.p_randsmiles == 0.3
+    d = cfg.as_dict()
+    assert d["tokenizer_vocab"] == "mar"
+
+
+def test_finite_check_raises():
+    ok = {"a": jnp.ones((3,)), "b": jnp.zeros((2, 2))}
+    finite_check(ok)
+    bad = {"a": jnp.asarray([1.0, np.nan])}
+    with pytest.raises(FloatingPointError):
+        finite_check(bad)
+
+
+def test_step_timer():
+    t = step_timer()
+    for _ in range(3):
+        with t:
+            pass
+    m = t.emit()
+    assert m["steps_per_sec"] > 0
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    pytest.importorskip("orbax.checkpoint")
+    from coati_tpu.training.checkpoints import CheckpointManager
+
+    state = {
+        "w": np.arange(6, dtype=np.float32).reshape(2, 3),
+        "step": np.asarray(5, np.int32),
+    }
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), async_save=False)
+    mgr.save(1, state)
+    mgr.wait()
+    assert mgr.latest_step() == 1
+    template = {"w": np.zeros((2, 3), np.float32), "step": np.asarray(0, np.int32)}
+    restored = mgr.restore_latest(template)
+    np.testing.assert_array_equal(restored["w"], state["w"])
+    mgr.close()
+
+
+def test_graft_entry_points():
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    loss = jax.jit(fn)(*args)
+    assert np.isfinite(float(loss))
+    g.dryrun_multichip(8)
