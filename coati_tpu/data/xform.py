@@ -52,7 +52,11 @@ def clip_ar_xform(
     coord_noise: bool = False,
     pad_width_to: int = 16,
     rng: Optional[_random.Random] = None,
+    fp_targets: Optional[tuple] = None,
 ) -> Dict:
+    """fp_targets: optional tuple like (("morgan", 2048),) — computes the
+    named fingerprints host-side into batch['fp_<name>'] (the fp-variant
+    xform, clip_fp_e2e.py:21,273-278; requires rdkit)."""
     assert "smiles" in batch and "atoms" in batch and "coords" in batch
     rng = rng or _random
     n_seq = tokenizer.n_seq
@@ -127,7 +131,13 @@ def clip_ar_xform(
                 )
 
             if rng.random() < p_randsmiles:
-                s2s_text = _tok("[SMILES]" + permute_smiles(canonical) + "[STOP]")
+                # precomputed permutation columns (SELFIES caches carry
+                # 'rand_smiles'); otherwise permute via RDKit
+                if "rand_smiles" in batch:
+                    permuted = str(batch["rand_smiles"][k])
+                else:
+                    permuted = permute_smiles(canonical)
+                s2s_text = _tok("[SMILES]" + permuted + "[STOP]")
                 unperm = _tok("[SMILES]" + canonical + "[STOP]")
             else:
                 s2s_text = _tok("[SMILES]" + canonical + "[STOP]")
@@ -184,4 +194,18 @@ def clip_ar_xform(
     ):
         y_next[y_next == t] = -1
     batch["y_next"] = y_next
+
+    if fp_targets:
+        from coati_tpu.chem.rdkit_support import mol_to_morgan
+
+        for name, n_bits in fp_targets:
+            if name != "morgan":
+                raise ValueError(f"unsupported fp target {name!r}")
+            fps = []
+            for s in batch["smiles"]:
+                fp = mol_to_morgan(str(s), radius=2, n_bits=n_bits)
+                fps.append(
+                    fp if fp is not None else np.zeros((n_bits,), np.uint8)
+                )
+            batch[f"fp_{name}"] = np.stack(fps).astype(np.int32)
     return batch

@@ -80,7 +80,7 @@ def clip_ar_xform_selfies(
     sel_batch = dict(batch)
     # route the precomputed selfies strings through the standard pipeline
     sel_batch["smiles"] = [str(s) for s in batch["selfies"]]
-    if p_randsmiles > 0 and "rand_selfies" in batch:
+    if "rand_selfies" in batch:
         # random-permutation targets come from the cache, not RDKit
         sel_batch["rand_smiles"] = [str(s) for s in batch["rand_selfies"]]
     return clip_ar_xform(
@@ -92,7 +92,7 @@ def clip_ar_xform_selfies(
         p_graph=p_graph,
         p_clip=p_clip,
         p_clip_cut=p_clip_cut,
-        p_randsmiles=0.0,  # permutations are precomputed for selfies
+        p_randsmiles=p_randsmiles if "rand_selfies" in batch else 0.0,
         coord_noise=coord_noise,
         pad_width_to=pad_width_to,
         rng=rng,
