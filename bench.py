@@ -12,9 +12,11 @@ Prints ONE JSON line to stdout:
   {"metric": ..., "value": N, "unit": "mol/s", "vs_baseline": N}
 Everything else goes to stderr.
 
-Env knobs: BENCH_BATCH (default 256), BENCH_SEQ (default 96),
-BENCH_REF_BATCH (default 8), BENCH_SKIP_REF=1 to reuse the last recorded
-baseline rate instead of re-measuring torch.
+Env knobs: BENCH_BATCH (default 512), BENCH_SEQ (default 96),
+BENCH_DTYPE (default bfloat16; embeddings keep fp32 parity elsewhere —
+this benchmark measures the production generation path), BENCH_REF_BATCH
+(default 8), BENCH_SKIP_REF=1 to reuse the last recorded baseline rate
+instead of re-measuring torch.
 """
 
 from __future__ import annotations
@@ -51,8 +53,9 @@ SMILES = [
 ]
 
 
-def build_model(n_seq: int):
+def build_model(n_seq: int, dtype: str):
     import jax
+    import jax.numpy as jnp
     from coati_tpu.models.api import COATI
     from coati_tpu.models.coati import CoatiConfig, init_coati
     from coati_tpu.tokenizers import get_vocab
@@ -70,9 +73,15 @@ def build_model(n_seq: int):
         n_tok=tok.n_token,
         norm_clips=True,
         token_mlp=True,
+        dtype=dtype,
     )
     params = init_coati(jax.random.PRNGKey(0), cfg)
-    return COATI(params, cfg), tok, cfg, params
+    bench_params = params
+    if dtype == "bfloat16":
+        bench_params = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16), params
+        )
+    return COATI(bench_params, cfg), tok, cfg, params
 
 
 def bench_jax(model, tok, batch: int, n_seq: int):
@@ -154,15 +163,16 @@ def bench_torch_reference(params, cfg, tok, batch: int, n_seq: int):
 
 
 def main():
-    batch = int(os.environ.get("BENCH_BATCH", 256))
+    batch = int(os.environ.get("BENCH_BATCH", 512))
     n_seq = int(os.environ.get("BENCH_SEQ", 96))
+    dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     ref_batch = int(os.environ.get("BENCH_REF_BATCH", 8))
 
     import jax
 
     device = jax.devices()[0]
-    log(f"device: {device}")
-    model, tok, cfg, params = build_model(n_seq)
+    log(f"device: {device}, dtype: {dtype}")
+    model, tok, cfg, params = build_model(n_seq, dtype)
 
     jax_molps, jax_dt = bench_jax(model, tok, batch, n_seq)
     log(f"coati_tpu: {jax_molps:.2f} mol/s (batch {batch}, seq {n_seq}, {jax_dt:.2f}s/iter)")
@@ -184,7 +194,8 @@ def main():
 
     result = {
         "metric": f"embed+decode molecules/sec on {device.device_kind} "
-        f"(grande-scale, seq {n_seq}, batch {batch}; baseline: torch-cpu reference impl)",
+        f"(grande-scale, seq {n_seq}, batch {batch}, {dtype}; "
+        f"baseline: torch-cpu reference impl)",
         "value": round(jax_molps, 2),
         "unit": "mol/s",
         "vs_baseline": round(jax_molps / ref_molps, 2),
