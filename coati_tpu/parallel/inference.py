@@ -1,0 +1,113 @@
+"""Data-parallel batched inference over a device mesh.
+
+Sharding embed/decode batches across the `data` axis scales the
+throughput-critical inference paths (BASELINE north star: mol/s on a
+v5e-8 slice) — parameters are replicated, the batch dimension is split
+over ICI, and the jitted sampler runs SPMD with no cross-device
+communication (each row decodes independently).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from coati_tpu.models import coati as F
+from coati_tpu.models.api import COATI
+from coati_tpu.models.sampler import generate_tokens
+from coati_tpu.tokenizers.trie_tokenizer import TrieTokenizer
+
+
+def _pad_rows(arr: np.ndarray, multiple: int) -> np.ndarray:
+    rem = (-arr.shape[0]) % multiple
+    if rem == 0:
+        return arr
+    return np.concatenate([arr, np.repeat(arr[:1], rem, axis=0)], axis=0)
+
+
+class ShardedCOATI:
+    """Wraps a COATI model for mesh-sharded batch inference."""
+
+    def __init__(self, model: COATI, mesh: Mesh, axis: str = "data"):
+        self.model = model
+        self.mesh = mesh
+        self.axis = axis
+        self.n_devices = int(mesh.devices.size)
+        replicated = NamedSharding(mesh, P())
+        self.params = jax.device_put(model.params, replicated)
+        self.config = model.config
+        self._batch_sharding = NamedSharding(mesh, P(axis))
+        self._rng = jax.random.PRNGKey(0)
+
+    def _shard(self, arr: np.ndarray):
+        return jax.device_put(jnp.asarray(arr), self._batch_sharding)
+
+    def encode_tokens(self, token_indices, tokenizer: TrieTokenizer) -> np.ndarray:
+        tokens = np.asarray(token_indices, np.int32)
+        b = tokens.shape[0]
+        padded = _pad_rows(tokens, self.n_devices)
+        out = jax.jit(
+            F.encode_tokens, static_argnames=("cfg", "stop_token")
+        )(self.params, self.config, self._shard(padded), tokenizer.stop_token)
+        return np.asarray(out)[:b]
+
+    def encode_points(self, atoms, coords) -> np.ndarray:
+        atoms = np.asarray(atoms)
+        b = atoms.shape[0]
+        out = jax.jit(F.encode_points, static_argnames=("cfg",))(
+            self.params,
+            self.config,
+            self._shard(_pad_rows(atoms, self.n_devices)),
+            self._shard(_pad_rows(np.asarray(coords, np.float32), self.n_devices)),
+        )
+        return np.asarray(out)[:b]
+
+    def hclip_to_2d_batch(
+        self,
+        h_clip,
+        tokenizer: TrieTokenizer,
+        fill_in_from: str = "[SMILES]",
+        noise_scale: float = 0.0,
+        inv_temp: float = 2.0,
+        k: int = 100,
+        do_suffix: bool = False,
+        keep_special: bool = False,
+    ):
+        h = np.asarray(h_clip, np.float32)
+        b = h.shape[0]
+        if noise_scale > 0:
+            h = h + np.random.default_rng(0).normal(
+                scale=noise_scale, size=h.shape
+            ).astype(np.float32)
+        h = _pad_rows(h, self.n_devices)
+        h_token = jax.jit(F.clip_to_special_token)(self.params, self._shard(h))
+        suffstr = "[SUFFIX][MIDDLE]" if do_suffix else ""
+        prefix = tokenizer.tokenize_text(
+            "[CLIP][UNK]" + fill_in_from + suffstr, pad=False
+        )
+        total_len = self.config.n_seq
+        tokens0 = np.zeros((h.shape[0], total_len), np.int32)
+        tokens0[:, : len(prefix)] = prefix
+        self._rng, rng = jax.random.split(self._rng)
+        out = generate_tokens(
+            self.params.xformer,
+            self.config.xformer_config,
+            rng,
+            self._shard(tokens0),
+            self._shard(np.full((h.shape[0],), len(prefix), np.int32)),
+            prefill_len=len(prefix),
+            total_len=total_len,
+            stop_token=tokenizer.stop_token,
+            pad_token=tokenizer.pad_token,
+            k=k,
+            inv_temp=inv_temp,
+            inj_payload=h_token,
+            inject_token=tokenizer.unk_token,
+        )
+        out = np.asarray(out)[:b]
+        return [tokenizer.decode(list(r), special=keep_special) for r in out]
