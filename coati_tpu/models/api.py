@@ -39,6 +39,8 @@ def bucket_size(n: int, minimum: int = 8) -> int:
 def _pad_batch(arr: np.ndarray, target: int) -> np.ndarray:
     if arr.shape[0] == target:
         return arr
+    if arr.shape[0] == 0:
+        return np.zeros((target,) + arr.shape[1:], arr.dtype)
     reps = np.repeat(arr[:1], target - arr.shape[0], axis=0)
     return np.concatenate([arr, reps], axis=0)
 

@@ -199,9 +199,10 @@ def encode_tokens(
     xcfg = cfg.xformer_config
     hidden = forward_hidden(params.xformer, xcfg, tokens)
     h = stop_token_hidden(hidden, tokens, stop_token)
-    return apply_projection(
-        params.smiles_to_clip, h, cfg.old_architecture, xcfg.mm_precision
-    )
+    from coati_tpu.ops.layers import cast_floats
+
+    proj = cast_floats(params.smiles_to_clip, xcfg.compute_dtype)
+    return apply_projection(proj, h, cfg.old_architecture, xcfg.mm_precision)
 
 
 def encode_points(
@@ -212,8 +213,11 @@ def encode_points(
     if not cfg.use_point_encoder or params.point_encoder is None:
         return jnp.zeros((atoms.shape[0], cfg.embed_dim), cfg.xformer_config.compute_dtype)
     h = egnn_forward(params.point_encoder, cfg.egnn_config, atoms, coords)
+    from coati_tpu.ops.layers import cast_floats
+
+    proj = cast_floats(params.point_to_clip, cfg.egnn_config.compute_dtype)
     return apply_projection(
-        params.point_to_clip, h, cfg.old_architecture, cfg.egnn_config.mm_precision
+        proj, h, cfg.old_architecture, cfg.egnn_config.mm_precision
     )
 
 

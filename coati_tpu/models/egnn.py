@@ -35,6 +35,7 @@ from flax import struct
 
 from coati_tpu.common.periodic_table import xy_one_hot_full_table
 from coati_tpu.ops.layers import (
+    cast_floats,
     instance_norm_lastdim,
     linear,
     matmul_precision,
@@ -216,6 +217,7 @@ def egnn_forward(
 ) -> jnp.ndarray:
     """-> (B, H) masked mean-pooled molecular representation."""
     atoms = atoms.astype(jnp.int32)
+    params = cast_floats(params, cfg.compute_dtype)
     node_mask = (atoms > 0).astype(cfg.compute_dtype)  # (B, N)
     n = atoms.shape[1]
 

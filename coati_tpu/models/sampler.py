@@ -75,7 +75,9 @@ def generate_tokens(
     assert 1 <= prefill_len <= total_len <= cfg.n_seq
     tokens = prefix_tokens.astype(jnp.int32)
 
-    cache = make_empty_cache(cfg, b)
+    # size the cache to the requested generation length: every decode
+    # step reads the full cache width, so this directly scales step time
+    cache = make_empty_cache(cfg, b, width=total_len)
     hidden, cache = prefill(
         params,
         cfg,
@@ -179,12 +181,15 @@ def generate_prefix_batch(
 ) -> jnp.ndarray:
     """Variable-length token-space prefixes — the reference
     generate_topk_batch (smiles_xformer.py:157-200)."""
+    import numpy as np
+
     b = len(prefixes)
     total_len = total_len or cfg.n_seq
     lens = [len(pf) for pf in prefixes]
-    tokens = jnp.zeros((b, total_len), jnp.int32)
+    tokens_np = np.zeros((b, total_len), np.int32)
     for i, pf in enumerate(prefixes):
-        tokens = tokens.at[i, : len(pf)].set(jnp.asarray(pf, jnp.int32))
+        tokens_np[i, : len(pf)] = pf
+    tokens = jnp.asarray(tokens_np)
     return generate_tokens(
         params,
         cfg,

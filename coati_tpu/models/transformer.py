@@ -30,6 +30,7 @@ from flax import struct
 
 from coati_tpu.ops.attention import causal_attention, decode_attention
 from coati_tpu.ops.layers import (
+    cast_floats,
     gelu_tanh,
     layer_norm,
     linear,
@@ -214,6 +215,7 @@ def forward_hidden(
     inject_token: Optional[int] = None,
 ) -> jnp.ndarray:
     """Full forward through all blocks + final LN. tokens: (B, T) -> (B, T, D)."""
+    params = cast_floats(params, cfg.compute_dtype)
     cos, sin = rotary_tables(cfg.n_seq, cfg.head_dim)
     cos = cos.astype(cfg.compute_dtype)
     sin = sin.astype(cfg.compute_dtype)
@@ -280,11 +282,16 @@ def forward_with_stop_emb(
 # ----------------------------------------------------------- decode step
 
 
-def make_empty_cache(cfg: TransformerConfig, batch: int, dtype=None) -> jnp.ndarray:
-    """KV cache: (L, 2, B, Tmax, H, Dh)."""
+def make_empty_cache(
+    cfg: TransformerConfig, batch: int, width: Optional[int] = None, dtype=None
+) -> jnp.ndarray:
+    """KV cache: (L, 2, B, width, H, Dh). Decode is bandwidth-bound on
+    cache reads, so size the width to the actual generation length
+    rather than cfg.n_seq when possible."""
     dtype = dtype or cfg.compute_dtype
+    width = width or cfg.n_seq
     return jnp.zeros(
-        (cfg.n_layer, 2, batch, cfg.n_seq, cfg.n_head, cfg.head_dim), dtype
+        (cfg.n_layer, 2, batch, width, cfg.n_head, cfg.head_dim), dtype
     )
 
 
@@ -304,6 +311,7 @@ def prefill(
     b, p = tokens.shape
     h, dh = cfg.n_head, cfg.head_dim
     prec = cfg.mm_precision
+    params = cast_floats(params, cfg.compute_dtype)
     cos, sin = rotary_tables(cfg.n_seq, cfg.head_dim)
     cos = cos.astype(cfg.compute_dtype)
     sin = sin.astype(cfg.compute_dtype)
@@ -352,6 +360,7 @@ def decode_step(
     b = token.shape[0]
     h, dh = cfg.n_head, cfg.head_dim
     prec = cfg.mm_precision
+    params = cast_floats(params, cfg.compute_dtype)
     cos_t, sin_t = rotary_tables(cfg.n_seq, cfg.head_dim)
     cos1 = jax.lax.dynamic_index_in_dim(cos_t, pos, 0, keepdims=False).astype(
         cfg.compute_dtype

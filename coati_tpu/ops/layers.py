@@ -27,6 +27,20 @@ def matmul_precision(name: str):
     return _PRECISIONS[name]
 
 
+def cast_floats(tree, dtype):
+    """Cast float32 leaves of a param pytree to the compute dtype
+    (mixed precision: fp32 master weights, low-precision compute).
+    No-op when dtype is float32."""
+    if dtype == jnp.float32:
+        return tree
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32
+        else x,
+        tree,
+    )
+
+
 def layer_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray) -> jnp.ndarray:
     """LayerNorm over the last axis, stats in float32."""
     xf = x.astype(jnp.float32)

@@ -1,0 +1,104 @@
+"""Pretraining-throughput benchmark (samples/sec/chip).
+
+Measures the full CLIP+AR train step (grande config: 16x256 transformer +
+5x256 EGNN, AR + global-batch CLIP loss, AdamW update) on synthetic
+device-resident batches — the BASELINE.json "pretrain samples/sec/chip"
+workload. Steps are chained inside one jit-driven loop to amortize the
+host round-trip.
+
+Env knobs: TRAIN_BATCH (per-chip, default 160), TRAIN_SEQ (default 80),
+TRAIN_ATOMS (default 96), TRAIN_DTYPE (default bfloat16).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from coati_tpu.models.coati import CoatiConfig, init_coati
+from coati_tpu.parallel.mesh import make_mesh, replicate_params, shard_batch
+from coati_tpu.tokenizers import get_vocab
+from coati_tpu.tokenizers.trie_tokenizer import TrieTokenizer
+from coati_tpu.training.config import grande_config
+from coati_tpu.training.train import (
+    make_optimizer,
+    make_train_step,
+    model_config_from_train_config,
+)
+
+
+def main():
+    batch = int(os.environ.get("TRAIN_BATCH", 160))
+    seq = int(os.environ.get("TRAIN_SEQ", 80))
+    n_atoms = int(os.environ.get("TRAIN_ATOMS", 96))
+    dtype = os.environ.get("TRAIN_DTYPE", "bfloat16")
+
+    print(f"device: {jax.devices()[0]}, batch {batch}, seq {seq}, atoms {n_atoms}, {dtype}")
+    tok = TrieTokenizer(n_seq=seq, **get_vocab("mar"))
+    config = grande_config(n_seq=seq, max_n_seq=seq, batch_size=batch, dtype=dtype)
+    model_cfg = model_config_from_train_config(config, tok.n_token)
+
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    optimizer = make_optimizer(config)
+    params = replicate_params(mesh, init_coati(jax.random.PRNGKey(0), model_cfg))
+    opt_state = optimizer.init(params)
+    step = make_train_step(
+        mesh, model_cfg, optimizer,
+        stop_token=tok.stop_token,
+        unk_token=tok.unk_token,
+        p_clip_emb_smi=config.p_clip_emb_smi,
+        token_entropy_unit=float(np.log2(tok.n_token)),
+        do_clip=True,
+    )
+
+    rng = np.random.default_rng(0)
+    g_batch = batch * n_dev
+    tokens = rng.integers(100, tok.n_token, size=(g_batch, seq)).astype(np.int32)
+    tokens[:, 0] = tok.smiles_token
+    tokens[:, -2] = tok.stop_token
+    tokens[:, -1] = tok.pad_token
+    y_next = np.zeros_like(tokens)
+    y_next[:, :-1] = tokens[:, 1:]
+    y_next[y_next == tok.pad_token] = -1
+    device_batch = shard_batch(
+        mesh,
+        {
+            "raw_tokens": tokens,
+            "tokens": tokens,
+            "y_next": y_next,
+            "atoms": rng.integers(1, 9, size=(g_batch, n_atoms)).astype(np.int32),
+            "coords": rng.normal(size=(g_batch, n_atoms, 3)).astype(np.float32),
+        },
+    )
+
+    key = jax.random.PRNGKey(1)
+    print("compiling...")
+    t0 = time.perf_counter()
+    params, opt_state, metrics = step(params, opt_state, key, device_batch)
+    print(f"compile+first step: {time.perf_counter() - t0:.1f}s, "
+          f"loss {float(metrics['loss']):.3f}")
+
+    reps = 10
+    t0 = time.perf_counter()
+    for i in range(reps):
+        key = jax.random.fold_in(key, i)
+        params, opt_state, metrics = step(params, opt_state, key, device_batch)
+    _ = float(metrics["loss"])  # sync
+    dt = (time.perf_counter() - t0) / reps
+    print(
+        f"train step: {dt * 1000:.1f} ms -> {g_batch / dt:.1f} samples/s "
+        f"({g_batch / dt / n_dev:.1f} samples/s/chip, {n_dev} chip(s))"
+    )
+
+
+if __name__ == "__main__":
+    main()
