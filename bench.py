@@ -96,8 +96,9 @@ def bench_jax(model, tok, batch: int, n_seq: int):
         out = model.hclip_to_2d_batch(np.asarray(h), tok, inv_temp=2.0, k=100)
         return out
 
-    log("jax warmup (compile)...")
-    run()
+    log("jax warmup (compile + runtime steady-state)...")
+    for _ in range(3):
+        run()
     log("jax timed runs...")
     reps = 3
     t0 = time.perf_counter()

@@ -408,3 +408,7 @@ class COATI:
             tokenizer.unk_token,
             p_clip_emb_smi,
         )
+
+    # In the reference, forward_dist is the DDP variant of forward
+    # (clip_e2e.py:772-814); under JAX SPMD they are the same function.
+    forward_dist = forward

@@ -36,7 +36,17 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: dict, axis: str = "data") -> dict:
-    """Device-put every array in the batch sharded along its leading dim."""
+    """Device-put every array in the batch sharded along its leading dim.
+
+    Single-device meshes take a plain device_put: some runtimes (the
+    tunneled single-chip dev environment) execute programs with
+    NamedSharding-committed inputs ~100x slower; with one device the
+    sharding carries no information anyway."""
+    if mesh.devices.size == 1:
+        dev = mesh.devices.reshape(-1)[0]
+        return {
+            k: jax.device_put(v, dev) for k, v in batch.items() if hasattr(v, "shape")
+        }
     sharding = batch_sharding(mesh, axis)
     return {
         k: jax.device_put(v, sharding)
@@ -46,5 +56,8 @@ def shard_batch(mesh: Mesh, batch: dict, axis: str = "data") -> dict:
 
 
 def replicate_params(mesh: Mesh, params):
+    if mesh.devices.size == 1:
+        dev = mesh.devices.reshape(-1)[0]
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, dev), params)
     sharding = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), params)

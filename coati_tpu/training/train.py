@@ -104,12 +104,26 @@ def make_train_step(
     do_clip: bool,
     axis: str = "data",
     is_training: bool = True,
+    mode: str = "pjit",
 ):
-    """Build the jitted SPMD train step.
-
-    Per shard: forward -> local AR loss; all-gather embeddings -> global
-    CLIP loss; grads pmean'd over the mesh. Returns
+    """Build the jitted SPMD train step:
     (params, opt_state, rng, batch) -> (params, opt_state, metrics).
+
+    mode="pjit" (default): one global jit; the batch arrives sharded on
+    the `axis` mesh dimension and XLA's SPMD partitioner inserts the
+    collectives — the CLIP logits matrix s @ c.T globalizes the
+    contrastive batch automatically, and gradient reduction falls out of
+    the replicated-parameter sharding. Fewer moving parts and the fastest
+    path on every runtime we've measured.
+
+    mode="shard_map": the explicit per-shard formulation mirroring the
+    reference's comm pattern 1:1 — local forward, `lax.all_gather` of
+    embeddings for the global CLIP loss (autograd_funs.py:5-25), and
+    `lax.pmean` gradient averaging (DDP allreduce). Semantically
+    equivalent; kept for pedagogy and for runtimes where explicit
+    collectives schedule better. NOTE: per-shard AR loss is averaged per
+    shard then pmean'd (exact DDP semantics), while pjit averages over
+    global valid tokens — identical when shards carry equal token counts.
     """
 
     def local_loss(params, rng, batch):
@@ -156,6 +170,46 @@ def make_train_step(
         )
         return params, opt_state, metrics
 
+    def global_step(params, opt_state, rng, batch):
+        """pjit formulation: ops see GLOBAL (sharded) arrays."""
+
+        def global_loss(params):
+            h_e3gnn, h_smiles, logits, bad_rows = F.forward(
+                params,
+                model_cfg,
+                rng,
+                batch["raw_tokens"],
+                batch["tokens"],
+                batch["atoms"],
+                batch["coords"],
+                stop_token,
+                unk_token,
+                p_clip_emb_smi,
+            )
+            ar = F.ar_loss_fn(logits, batch["y_next"])
+            if do_clip:
+                cl = F.clip_loss(h_smiles, h_e3gnn, bad_rows)
+                return ar + cl * token_entropy_unit, (ar, cl)
+            return ar, (ar, jnp.zeros(()))
+
+        if is_training:
+            (loss, (ar, cl)), grads = jax.value_and_grad(
+                global_loss, has_aux=True
+            )(params)
+            updates, new_opt = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            opt_state = new_opt
+        else:
+            loss, (ar, cl) = global_loss(params)
+        return params, opt_state, {"loss": loss, "ar_loss": ar, "clip_loss": cl}
+
+    # donate params/opt_state only when they are actually replaced;
+    # the eval step returns its inputs untouched and callers keep them
+    donate = (0, 1) if is_training else ()
+
+    if mode == "pjit":
+        return jax.jit(global_step, donate_argnums=donate)
+
     batch_spec = {
         "raw_tokens": P(axis),
         "tokens": P(axis),
@@ -170,9 +224,6 @@ def make_train_step(
         out_specs=(P(), P(), P()),
         check_vma=False,
     )
-    # donate params/opt_state only when they are actually replaced;
-    # the eval step returns its inputs untouched and callers keep them
-    donate = (0, 1) if is_training else ()
     return jax.jit(stepped, donate_argnums=donate)
 
 

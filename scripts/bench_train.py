@@ -86,6 +86,12 @@ def main():
     params, opt_state, metrics = step(params, opt_state, key, device_batch)
     print(f"compile+first step: {time.perf_counter() - t0:.1f}s, "
           f"loss {float(metrics['loss']):.3f}")
+    # several warmup steps: some runtimes take a few executions to reach
+    # steady state after compilation
+    for i in range(4):
+        key = jax.random.fold_in(key, 1000 + i)
+        params, opt_state, metrics = step(params, opt_state, key, device_batch)
+        _ = float(metrics["loss"])
 
     reps = 10
     t0 = time.perf_counter()

@@ -96,7 +96,8 @@ def test_sharded_clip_loss_equals_global():
     np.testing.assert_allclose(losses, global_loss, atol=1e-5)
 
 
-def test_train_step_reduces_loss():
+@pytest.mark.parametrize("mode", ["pjit", "shard_map"])
+def test_train_step_reduces_loss(mode):
     mesh = make_mesh()
     config = TrainConfig(lr=1e-3, clip_grad=10.0, weight_decay=0.1)
     optimizer = make_optimizer(config)
@@ -109,6 +110,7 @@ def test_train_step_reduces_loss():
         p_clip_emb_smi=0.4,
         token_entropy_unit=float(np.log2(TOK.n_token)),
         do_clip=True,
+        mode=mode,
     )
     batch = shard_batch(mesh, synthetic_batch())
     rng = jax.random.PRNGKey(2)
@@ -119,6 +121,32 @@ def test_train_step_reduces_loss():
         losses.append(float(metrics["loss"]))
     assert losses[-1] < losses[0], losses
     assert np.isfinite(losses).all()
+
+
+def test_pjit_and_shard_map_losses_agree():
+    """Both distributed formulations must compute (numerically) the same
+    initial loss on the same batch (equal per-shard token counts)."""
+    mesh = make_mesh()
+    config = TrainConfig()
+    optimizer = make_optimizer(config)
+    batch = shard_batch(mesh, synthetic_batch(seed=11))
+    losses = {}
+    for mode in ("pjit", "shard_map"):
+        params = replicate_params(mesh, init_coati(jax.random.PRNGKey(7), CFG))
+        opt_state = optimizer.init(params)
+        step = make_train_step(
+            mesh, CFG, optimizer,
+            stop_token=TOK.stop_token,
+            unk_token=TOK.unk_token,
+            p_clip_emb_smi=0.0,  # deterministic clip-token choice
+            token_entropy_unit=float(np.log2(TOK.n_token)),
+            do_clip=True,
+            mode=mode,
+            is_training=False,
+        )
+        _, _, metrics = step(params, opt_state, jax.random.PRNGKey(9), batch)
+        losses[mode] = float(metrics["loss"])
+    assert losses["pjit"] == pytest.approx(losses["shard_map"], rel=1e-4)
 
 
 def test_eval_step_does_not_touch_params():
