@@ -246,3 +246,54 @@ def test_embed_decode_roundtrip_runs(pair):
     assert isinstance(single, str)
     comp = model.complete_batch(["[SMILES]C"] * 3, mtok, k=10)
     assert len(comp) == 3
+
+
+def test_old_architecture_parity():
+    """old_architecture=True swaps the projection-head layer order
+    (Linear then LayerNorm, clip_e2e.py:409-418); conversion must
+    auto-detect it and outputs must match."""
+    from coati_tpu.models.convert import projection_is_old_architecture
+
+    ce = load_ref_clip_e2e()
+    tok = ref_tokenizer(VOCAB, n_seq=40)
+    torch.manual_seed(11)
+    cfg = small_cfg(tok, old_architecture=True, n_layer_e3gnn=1)
+    ref = ce.e3gnn_smiles_clip_e2e(
+        n_layer_e3gnn=1, n_layer_xformer=2, n_hidden_xformer=32,
+        n_hidden_e3nn=32, n_embd_common=32, n_head=2, n_seq=40,
+        n_tok=tok.n_token, norm_clips=True, token_mlp=True,
+        old_architecture=True, device=torch.device("cpu"), dtype=torch.float32,
+    )
+    ref.eval()
+    assert projection_is_old_architecture(ref.state_dict(), "smiles_to_clip")
+    params = convert_coati(ref.state_dict(), cfg)
+    my_tok = TrieTokenizer(n_seq=40, **get_vocab(VOCAB))
+    toks = token_batch(my_tok, SMILES)
+    with torch.no_grad():
+        ref_h = ref.encode_tokens(torch.tensor(toks, dtype=torch.long), tok).numpy()
+    mine = np.asarray(F.encode_tokens(params, cfg, jnp.asarray(toks), my_tok.stop_token))
+    np.testing.assert_allclose(mine, ref_h, atol=3e-5, rtol=1e-4)
+
+
+def test_no_norm_clips_parity():
+    """norm_clips=False: bare Linear projection heads."""
+    ce = load_ref_clip_e2e()
+    tok = ref_tokenizer(VOCAB, n_seq=40)
+    torch.manual_seed(12)
+    cfg = small_cfg(tok, norm_clips=False, n_layer_e3gnn=1)
+    ref = ce.e3gnn_smiles_clip_e2e(
+        n_layer_e3gnn=1, n_layer_xformer=2, n_hidden_xformer=32,
+        n_hidden_e3nn=32, n_embd_common=32, n_head=2, n_seq=40,
+        n_tok=tok.n_token, norm_clips=False, token_mlp=False,
+        device=torch.device("cpu"), dtype=torch.float32,
+    )
+    ref.eval()
+    cfg = cfg.replace(token_mlp=False)
+    params = convert_coati(ref.state_dict(), cfg)
+    assert params.token_w is None  # Identity token MLP
+    my_tok = TrieTokenizer(n_seq=40, **get_vocab(VOCAB))
+    toks = token_batch(my_tok, SMILES)
+    with torch.no_grad():
+        ref_h = ref.encode_tokens(torch.tensor(toks, dtype=torch.long), tok).numpy()
+    mine = np.asarray(F.encode_tokens(params, cfg, jnp.asarray(toks), my_tok.stop_token))
+    np.testing.assert_allclose(mine, ref_h, atol=3e-5, rtol=1e-4)
