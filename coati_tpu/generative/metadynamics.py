@@ -122,10 +122,18 @@ def run_metadynamics(
             k=cfg.k,
         )
         valid = [canonicalize_or_self(s) for s in decoded if is_valid_smiles(s)]
+        # drop molecules the tokenizer can't round-trip (oversized/foreign)
+        uniq = []
+        for s in sorted(set(valid)):
+            try:
+                tokenizer.tokenize_text("[SMILES]" + s + "[STOP]", pad=True)
+                uniq.append(s)
+            except (KeyError, ValueError):
+                continue
+        valid = uniq
         step_best, step_vec = None, None
         if valid:
-            embs = embed_smiles_batch(sorted(set(valid)), encoder, tokenizer)
-            uniq = sorted(set(valid))
+            embs = embed_smiles_batch(uniq, encoder, tokenizer)
             scores = [float(objective_fn(jnp.asarray(e))) for e in embs]
             for s, sc, e in zip(uniq, scores, embs):
                 if s not in seen:
