@@ -206,11 +206,15 @@ class COATI2:
         return_tokens: bool = False,
     ):
         assert k > 1 or k == 1
+        from coati_tpu.models.api import _pad_batch, bucket_size
+
         h = np.asarray(h_coati, np.float32)
+        n_real = h.shape[0]
         if noise_scale > 0:
             h = h + self._noise.normal(scale=noise_scale, size=h.shape).astype(
                 np.float32
             )
+        h = _pad_batch(h, bucket_size(n_real))  # bound jit recompiles
         h_token = _coati_to_token_jit(self.params, self.config, jnp.asarray(h))
         suffstr = "[SUFFIX][MIDDLE]" if do_suffix else ""
         prefix = tokenizer.tokenize_text(
@@ -235,7 +239,7 @@ class COATI2:
             inj_payload=h_token,
             inject_token=tokenizer.unk_token,
         )
-        out = np.asarray(out)
+        out = np.asarray(out)[:n_real]
         smiles = [tokenizer.decode(list(r), special=keep_special) for r in out]
         if return_tokens:
             return smiles, [list(map(int, r)) for r in out]

@@ -340,6 +340,77 @@ def config_from_model_kwargs(model_kwargs: Mapping[str, object], **overrides) ->
     return CoatiConfig(**kwargs)
 
 
+def export_egnn(params: EgnnParams, cfg: EgnnConfig) -> Dict[str, np.ndarray]:
+    """coati_tpu EGNN params -> reference-shaped e3gnn_clip state_dict."""
+    sd: Dict[str, np.ndarray] = {}
+    if cfg.torch_emb:
+        sd["emb.weight"] = np.asarray(params.embed_w)
+    else:
+        sd["embedding.weight"] = np.asarray(params.embed_w).T
+        sd["embedding.bias"] = np.asarray(params.embed_b)
+    lp = params.layers
+    for i in range(cfg.n_layers):
+        pre = f"gcl_{i}"
+        sd[f"{pre}.edge_mlp.0.weight"] = np.asarray(lp.edge_w1[i]).T
+        sd[f"{pre}.edge_mlp.0.bias"] = np.asarray(lp.edge_b1[i])
+        sd[f"{pre}.edge_mlp.3.weight"] = np.asarray(lp.edge_w2[i]).T
+        sd[f"{pre}.edge_mlp.3.bias"] = np.asarray(lp.edge_b2[i])
+        sd[f"{pre}.node_mlp.0.weight"] = np.asarray(lp.node_w1[i]).T
+        sd[f"{pre}.node_mlp.0.bias"] = np.asarray(lp.node_b1[i])
+        sd[f"{pre}.node_mlp.3.weight"] = np.asarray(lp.node_w2[i]).T
+        sd[f"{pre}.node_mlp.3.bias"] = np.asarray(lp.node_b2[i])
+        sd[f"{pre}.coord_mlp.0.weight"] = np.asarray(lp.coord_w1[i]).T
+        sd[f"{pre}.coord_mlp.0.bias"] = np.asarray(lp.coord_b1[i])
+        sd[f"{pre}.coord_mlp.2.weight"] = np.asarray(lp.coord_w2[i]).T
+    sd["node_dec.0.weight"] = np.asarray(params.dec_w1).T
+    sd["node_dec.0.bias"] = np.asarray(params.dec_b1)
+    sd["node_dec.3.weight"] = np.asarray(params.dec_w2).T
+    sd["node_dec.3.bias"] = np.asarray(params.dec_b2)
+    return sd
+
+
+def _export_projection(p: ProjParams, old_architecture: bool, prefix: str):
+    sd: Dict[str, np.ndarray] = {}
+    if p.ln_scale is None:
+        sd[f"{prefix}.weight"] = np.asarray(p.w).T
+        sd[f"{prefix}.bias"] = np.asarray(p.b)
+        return sd
+    lin_idx, ln_idx = (0, 1) if old_architecture else (1, 0)
+    sd[f"{prefix}.{lin_idx}.weight"] = np.asarray(p.w).T
+    sd[f"{prefix}.{lin_idx}.bias"] = np.asarray(p.b)
+    sd[f"{prefix}.{ln_idx}.weight"] = np.asarray(p.ln_scale)
+    sd[f"{prefix}.{ln_idx}.bias"] = np.asarray(p.ln_bias)
+    return sd
+
+
+def export_coati(params: CoatiParams, cfg: CoatiConfig) -> Dict[str, np.ndarray]:
+    """coati_tpu composite params -> reference-shaped state_dict (inverse
+    of convert_coati; makes our trained checkpoints loadable by the
+    reference torch code)."""
+    sd: Dict[str, np.ndarray] = {}
+    for k, v in export_transformer(params.xformer, cfg.xformer_config).items():
+        sd[f"xformer.{k}"] = v
+    if params.point_encoder is not None:
+        for k, v in export_egnn(params.point_encoder, cfg.egnn_config).items():
+            sd[f"point_encoder.{k}"] = v
+        sd.update(
+            _export_projection(
+                params.point_to_clip, cfg.old_architecture, "point_to_clip"
+            )
+        )
+    sd.update(
+        _export_projection(params.smiles_to_clip, cfg.old_architecture, "smiles_to_clip")
+    )
+    if params.token_w is not None:
+        sd["point_clip_to_special_tokens.1.weight"] = np.asarray(params.token_w).T
+        sd["point_clip_to_special_tokens.1.bias"] = np.asarray(params.token_b)
+    if params.fp_heads:
+        for name, head in params.fp_heads.items():
+            sd[f"fp_networks.{name}.weight"] = np.asarray(head.w).T
+            sd[f"fp_networks.{name}.bias"] = np.asarray(head.b)
+    return sd
+
+
 def export_transformer(params: TransformerParams, cfg: TransformerConfig):
     """Inverse of convert_transformer: coati_tpu params -> a reference-shaped
     state_dict of numpy arrays (for round-trip tests / interop)."""

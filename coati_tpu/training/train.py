@@ -292,6 +292,14 @@ def train_autoencoder(
     params = replicate_params(mesh, params)
     opt_state = optimizer.init(params)
 
+    if config.resume_document is not None and config.resume_optimizer:
+        try:
+            saved_opt = load_model_doc(config.resume_document).get("optimizer")
+            if saved_opt is not None:
+                opt_state = jax.tree_util.tree_map(jnp.asarray, saved_opt)
+        except Exception as ex:  # noqa: BLE001 - mirror reference tolerance
+            print("failed to resume optimizer", ex)
+
     step_train = make_train_step(
         mesh, model_cfg, optimizer,
         stop_token=tokenizer.stop_token,
@@ -337,7 +345,9 @@ def train_autoencoder(
             dataset_summary=getattr(dataset, "summary", {}),
             model_state=params_to_state(params),
             model_kwargs=model_kwargs,
-            optimizer_state=None,
+            optimizer_state=jax.tree_util.tree_map(
+                np.asarray, jax.device_get(opt_state)
+            ),
             n_toks_processed=n_toks,
             n_grads_processed=ngrad_updates,
             offline_loss=offline_losses,

@@ -297,3 +297,24 @@ def test_no_norm_clips_parity():
         ref_h = ref.encode_tokens(torch.tensor(toks, dtype=torch.long), tok).numpy()
     mine = np.asarray(F.encode_tokens(params, cfg, jnp.asarray(toks), my_tok.stop_token))
     np.testing.assert_allclose(mine, ref_h, atol=3e-5, rtol=1e-4)
+
+
+def test_export_coati_roundtrip_and_torch_load(pair):
+    """export_coati must produce a state_dict the reference torch model
+    can load (strict), and converting it back must be bit-identical."""
+    from coati_tpu.models.convert import export_coati
+
+    ref, params, cfg, rtok, mtok = pair
+    sd = export_coati(params, cfg)
+    params2 = convert_coati(sd, cfg)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(params2)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # the reference model loads our exported dict without missing keys
+    # (buffers like the causal mask are not parameters -> strict=False)
+    torch_sd = {k: torch.tensor(v) for k, v in sd.items()}
+    missing, unexpected = ref.load_state_dict(torch_sd, strict=False)
+    assert not unexpected, unexpected
+    assert all("attn.bias" in k for k in missing), missing  # only mask buffers
