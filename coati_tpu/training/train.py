@@ -277,10 +277,11 @@ def train_autoencoder(
         n_toks = doc.get("n_toks_processed", 0)
         ngrad_updates = doc.get("n_grads_processed", 0)
         sd = strip_module_prefix(doc["model"])
-        if isinstance(next(iter(sd.values())), dict):
-            loaded = params_from_state(model_cfg, sd)
-        else:
+        # reference state_dicts are flat with dotted keys; ours are nested
+        if any("." in k for k in sd):
             loaded = convert_coati(sd, model_cfg)
+        else:
+            loaded = params_from_state(model_cfg, sd)
         if config.load_transformer_only:
             params = params.replace(
                 xformer=loaded.xformer, smiles_to_clip=loaded.smiles_to_clip

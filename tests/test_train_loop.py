@@ -1,0 +1,114 @@
+"""End-to-end train_autoencoder test on the CPU mesh: tiny model, tiny
+synthetic dataset, checkpointing, and resume (full + transformer-only +
+optimizer)."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from coati_tpu.data.batch_pipe import batch_rows
+from coati_tpu.models.io import load_e3gnn_smiles_clip_e2e, load_model_doc
+from coati_tpu.training.config import TrainConfig
+from coati_tpu.training.logger import COATILogger
+from coati_tpu.training.train import train_autoencoder
+
+
+class TinySyntheticDataset:
+    summary = {"dataset_type": "synthetic-test"}
+
+    def get_data_pipe(self, batch_size=8, partition="train", required_fields=(),
+                      xform_routine=lambda x: x, **kw):
+        rng = np.random.default_rng(0)
+        frags = ["C", "CC", "CCO", "CCN", "CCC"]
+
+        def rows():
+            for i in range(batch_size * 4):
+                smi = frags[i % len(frags)]
+                n = max(1, len(smi))
+                yield {
+                    "smiles": smi,
+                    "source_collection": "geom_drugs",
+                    "atoms": rng.integers(1, 9, size=(n,)).astype(np.float64),
+                    "coords": rng.normal(size=(n, 3)),
+                }
+
+        return batch_rows(
+            rows(), batch_size=batch_size, partition="raw",
+            xform_routine=xform_routine, required_fields=["smiles"],
+        )
+
+
+def tiny_config(tmp_path, **kw):
+    cfg = TrainConfig(
+        n_layer_e3gnn=1,
+        n_hidden_e3nn=16,
+        n_hidden_xformer=16,
+        n_embd_common=16,
+        n_layer_xformer=1,
+        n_head=2,
+        n_seq=24,
+        max_n_seq=24,
+        tokenizer_vocab="mar_verysimple",
+        batch_size=2,
+        n_epochs=1,
+        lr=1e-3,
+        norm_clips=True,
+        token_mlp=True,
+        output_dir=str(tmp_path / "out"),
+        model_dir=str(tmp_path / "models"),
+        p_dataset=0.0, p_formula=0.0, p_fim=0.0, p_graph=0.0,
+        p_clip=0.5, p_randsmiles=0.0,
+        log_batch_loss=1,
+        ngrad_to_save=1e9,
+    )
+    for k, v in kw.items():
+        setattr(cfg, k, v)
+    return cfg
+
+
+def test_train_loop_and_resume(tmp_path):
+    config = tiny_config(tmp_path)
+    logger = COATILogger(
+        model_name="e3gnn_smiles_clip_e2e",
+        output_path=config.output_dir,
+        model_path=config.model_dir,
+        args=config.as_dict(),
+    )
+    logger.start()
+    params, results = train_autoencoder(
+        config, TinySyntheticDataset(), logger=logger, max_steps_per_epoch=4
+    )
+    logger.stop()
+
+    # the final 'best' checkpoint was written as a model document
+    docs = glob.glob(os.path.join(config.model_dir, "*"))
+    assert docs, "no checkpoint written"
+    doc = load_model_doc(docs[-1])
+    assert doc["train_args"]["tokenizer_vocab"] == "mar_verysimple"
+    assert doc["model_kwargs"]["n_layer_xformer"] == 1
+    assert doc["optimizer"] is not None
+    assert "offline_loss" in doc and doc["offline_loss"]["batch_losses"]
+
+    # the document loads through the inference loader
+    model, tok = load_e3gnn_smiles_clip_e2e(docs[-1])
+    assert model.embed_dim == 16
+
+    # full resume + optimizer resume
+    config2 = tiny_config(
+        tmp_path, resume_document=docs[-1], resume_optimizer=True
+    )
+    params2, _ = train_autoencoder(
+        config2, TinySyntheticDataset(), logger=None, max_steps_per_epoch=2
+    )
+
+    # transformer-only partial resume (train_coati.py:176-190)
+    config3 = tiny_config(
+        tmp_path, resume_document=docs[-1], load_transformer_only=True
+    )
+    params3, _ = train_autoencoder(
+        config3, TinySyntheticDataset(), logger=None, max_steps_per_epoch=2
+    )
