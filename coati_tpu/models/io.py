@@ -88,9 +88,18 @@ def load_e3gnn_smiles_clip_e2e(
         )
         params = convert_coati(sd, cfg)
     else:
-        # coati_tpu-format nested numpy dict
+        # coati_tpu-format nested numpy dict; recover fp-head config from
+        # the stored head shapes so the template pytree matches
+        fp_map = None
+        fp_state = sd.get("fp_heads")
+        if fp_state:
+            fp_map = tuple(
+                sorted((name, int(np.asarray(h["w"]).shape[-1])) for name, h in fp_state.items())
+            )
         cfg = config_from_model_kwargs(
-            model_kwargs, old_architecture=bool(old_architecture or False)
+            model_kwargs,
+            old_architecture=bool(old_architecture or False),
+            fp_map=fp_map,
         )
         params = params_from_state(cfg, sd)
 

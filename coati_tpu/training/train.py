@@ -240,6 +240,19 @@ def train_autoencoder(
     is_main = jax.process_index() == 0
     mesh = mesh or make_mesh()
     n_shards = mesh.devices.size
+
+    if is_main and logger is not None:
+        # self-describing run dir (reference writes params.json at start,
+        # train_coati.py:79-82)
+        import json
+        import os
+
+        from coati_tpu.common.util import makedir
+
+        run_dir = os.path.join(config.output_dir, config.exp_name, config.run_name)
+        makedir(run_dir)
+        with open(os.path.join(run_dir, "params.json"), "w") as f:
+            json.dump(config.as_dict(), f)
     tokenizer = TrieTokenizer(
         n_seq=config.n_seq, **get_vocab(config.tokenizer_vocab)
     )
