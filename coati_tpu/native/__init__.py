@@ -1,0 +1,89 @@
+"""Native (C) host-side components.
+
+`load_fast_matcher()` compiles fast_matcher.c once into a per-user cache
+directory (cc -O3 -shared -fPIC; ~100 ms) and loads it via ctypes —
+no pybind11/build-system dependency. Every consumer falls back to the
+pure-Python implementation when no C compiler is available, so the
+native layer is an accelerator, never a requirement.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import shutil
+import subprocess
+import threading
+from typing import Optional
+
+_SRC = os.path.join(os.path.dirname(__file__), "fast_matcher.c")
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _cache_dir() -> str:
+    base = os.environ.get("COATI_TPU_CACHE_DIR") or os.path.join(
+        os.path.expanduser("~"), ".cache", "coati_tpu"
+    )
+    path = os.path.join(base, "native")
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def _compiler() -> Optional[str]:
+    for cc in (os.environ.get("CC"), "cc", "gcc", "clang"):
+        if cc and shutil.which(cc):
+            return cc
+    return None
+
+
+def load_fast_matcher() -> Optional[ctypes.CDLL]:
+    """Compile (once) and load the native matcher; None if unavailable."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        cc = _compiler()
+        if cc is None or not os.path.exists(_SRC):
+            return None
+        with open(_SRC, "rb") as f:
+            digest = hashlib.sha256(f.read()).hexdigest()[:16]
+        so_path = os.path.join(_cache_dir(), f"fast_matcher_{digest}.so")
+        if not os.path.exists(so_path):
+            tmp = so_path + f".tmp{os.getpid()}"
+            try:
+                subprocess.run(
+                    [cc, "-O3", "-shared", "-fPIC", "-o", tmp, _SRC],
+                    check=True,
+                    capture_output=True,
+                )
+                os.replace(tmp, so_path)
+            except (subprocess.CalledProcessError, OSError):
+                return None
+        try:
+            lib = ctypes.CDLL(so_path)
+        except OSError:
+            return None
+        lib.matcher_new.restype = ctypes.c_void_p
+        lib.matcher_new.argtypes = []
+        lib.matcher_free.argtypes = [ctypes.c_void_p]
+        lib.matcher_add.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_char_p,
+            ctypes.c_int32,
+        ]
+        lib.matcher_split.restype = ctypes.c_int32
+        lib.matcher_split.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_char_p,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int32,
+        ]
+        _lib = lib
+        return _lib

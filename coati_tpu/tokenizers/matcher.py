@@ -14,25 +14,100 @@ KeyError at vocab lookup, as in the reference).
 
 from __future__ import annotations
 
+import ctypes
+import os
 from typing import Iterable, List
 
 
 class VocabMatcher:
+    """Pure-Python scan with an optional native (C byte-trie) fast path:
+    the tokenizer is the host input-pipeline hot loop, so the inner match
+    runs in coati_tpu/native/fast_matcher.c when a C compiler is present
+    (~10x; disable with COATI_TPU_NO_NATIVE=1). The native path is only
+    used for all-ASCII vocabularies (byte-level matching cannot bisect
+    multibyte characters then)."""
+
     def __init__(self, tokens: Iterable[str] = ()):
         # first char -> list of candidate tokens, longest first
         self._by_first: dict[str, List[str]] = {}
         self._max_len = 0
+        self._all_ascii = True
+        self._native = None  # (lib, handle), built lazily
+        self._native_dead = os.environ.get("COATI_TPU_NO_NATIVE") == "1"
         for t in tokens:
             self.add(t)
 
     def add(self, token: str) -> None:
         if not token:
             return
+        if not token.isascii():
+            self._all_ascii = False
+        if self._native is not None:  # keep an existing native trie in sync
+            lib, handle = self._native
+            if token.isascii():
+                raw = token.encode()
+                lib.matcher_add(handle, raw, len(raw))
+            else:
+                self._drop_native()
         bucket = self._by_first.setdefault(token[0], [])
         if token not in bucket:
             bucket.append(token)
             bucket.sort(key=len, reverse=True)
             self._max_len = max(self._max_len, len(token))
+
+    # ------------------------------------------------------------ native
+    def _drop_native(self) -> None:
+        if self._native is not None:
+            lib, handle = self._native
+            lib.matcher_free(handle)
+            self._native = None
+        self._native_dead = True
+
+    def _ensure_native(self):
+        if self._native is not None:
+            return self._native
+        if self._native_dead or not self._all_ascii:
+            return None
+        from coati_tpu.native import load_fast_matcher
+
+        lib = load_fast_matcher()
+        if lib is None:
+            self._native_dead = True
+            return None
+        handle = lib.matcher_new()
+        for bucket in self._by_first.values():
+            for tok in bucket:
+                raw = tok.encode()
+                lib.matcher_add(handle, raw, len(raw))
+        self._native = (lib, handle)
+        return self._native
+
+    def __del__(self):  # release the C trie
+        try:
+            if self._native is not None:
+                self._native[0].matcher_free(self._native[1])
+        except Exception:  # noqa: BLE001 - interpreter teardown
+            pass
+
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state["_native"] = None  # rebuilt lazily after unpickling
+        return state
+
+    def _split_native(self, text: str):
+        native = self._ensure_native()
+        if native is None:
+            return None
+        lib, handle = native
+        raw = text.encode()
+        n = len(raw)
+        if n == 0:
+            return []
+        starts = (ctypes.c_int32 * n)()
+        ends = (ctypes.c_int32 * n)()
+        flags = (ctypes.c_uint8 * n)()
+        count = lib.matcher_split(handle, raw, n, starts, ends, flags, n)
+        return [raw[starts[i] : ends[i]].decode() for i in range(count)]
 
     def _match_at(self, text: str, pos: int) -> str | None:
         bucket = self._by_first.get(text[pos])
@@ -47,6 +122,10 @@ class VocabMatcher:
     def split(self, text: str) -> List[str]:
         """Split text into [vocab tokens and passthrough spans], preserving
         all characters (''.join(result) == text)."""
+        if text.isascii():
+            native_out = self._split_native(text)
+            if native_out is not None:
+                return native_out
         out: List[str] = []
         span_start = 0  # start of current passthrough span
         pos = 0

@@ -175,3 +175,33 @@ def test_vocab_sizes_match_reference():
         mine = get_vocab(name)
         assert [t.strip() for t in ref_v["special_tokens"]] == mine["special_tokens"]
         assert [t.strip() for t in ref_v["smiles_tokens"]] == mine["smiles_tokens"]
+
+
+def test_native_matcher_agrees_with_python():
+    """When the C byte-trie is available it must agree with the Python
+    scan on real-vocab inputs (the native path is exercised implicitly by
+    all other tests; this pins the equivalence explicitly)."""
+    from coati_tpu.native import load_fast_matcher
+
+    if load_fast_matcher() is None:
+        pytest.skip("no C compiler available")
+    vocab = get_vocab("mar")["smiles_tokens"]
+    m_native = VocabMatcher(vocab)
+    m_py = VocabMatcher(vocab)
+    m_py._native_dead = True
+    rng = random.Random(3)
+    alphabet = "CNOclnos()[]123=#@+-H"
+    for smi in SMILES_EXAMPLES + [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 80)))
+        for _ in range(200)
+    ]:
+        assert m_native.split(smi) == m_py.split(smi), smi
+
+
+def test_matcher_survives_pickle():
+    import pickle
+
+    m = VocabMatcher(["ab", "b", "[CLS]"])
+    before = m.split("ab[CLS]bx")
+    m2 = pickle.loads(pickle.dumps(m))
+    assert m2.split("ab[CLS]bx") == before
