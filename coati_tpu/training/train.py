@@ -371,6 +371,9 @@ def train_autoencoder(
 
     def do_epoch(epoch: int, partition: str) -> Optional[float]:
         nonlocal rng, params, opt_state, n_toks, ngrad_updates
+        from coati_tpu.training.diagnostics import step_timer
+
+        timer = step_timer()
         t0 = time.time()
         total_loss, counter, loss_arr, ng = 0.0, 0, [], 0
         # global batch = per-device batch * n_shards, matching the
@@ -392,13 +395,16 @@ def train_autoencoder(
                 {k: batch[k] for k in ("raw_tokens", "tokens", "y_next", "atoms", "coords")},
             )
             rng, step_rng = jax.random.split(rng)
-            if partition == "train":
-                params, opt_state, metrics = step_train(
-                    params, opt_state, step_rng, device_batch
-                )
-            else:
-                _, _, metrics = step_eval(params, opt_state, step_rng, device_batch)
-            loss = float(metrics["loss"])
+            with timer:
+                if partition == "train":
+                    params, opt_state, metrics = step_train(
+                        params, opt_state, step_rng, device_batch
+                    )
+                else:
+                    _, _, metrics = step_eval(
+                        params, opt_state, step_rng, device_batch
+                    )
+                loss = float(metrics["loss"])
             ar = float(metrics["ar_loss"])
             cl = float(metrics["clip_loss"])
 
@@ -450,6 +456,10 @@ def train_autoencoder(
             if logger is not None:
                 logger.log_metric(
                     f"{partition} epoch mean loss", total_loss / counter,
+                    dataset_epoch=epoch,
+                )
+                logger.log_metrics(
+                    {f"{partition}_{k}": v for k, v in timer.emit().items()},
                     dataset_epoch=epoch,
                 )
         return total_loss / counter
