@@ -17,7 +17,6 @@ from typing import List
 import numpy as np
 
 from coati_tpu.chem.rdkit_support import (
-    HAS_RDKIT,
     canonicalize_or_self,
     is_valid_smiles,
     mol_to_atoms_coords,

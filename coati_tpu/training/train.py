@@ -5,12 +5,12 @@ TPU-native replacement for the reference DDP loop
 
   * one process per HOST (not per chip); the `data` mesh covers all
     devices, multi-host via jax.distributed.initialize;
-  * the train step runs under `shard_map`: each shard encodes its local
-    rows, `lax.all_gather`s embeddings over the mesh so the CLIP loss
-    spans the GLOBAL batch (replacing the custom differentiable NCCL
-    all_gather, coati/models/autograd_funs/autograd_funs.py:5-25 — JAX AD
-    emits the reduce-scatter backward automatically), and gradients are
-    `lax.pmean`-averaged (replacing DDP allreduce);
+  * the train step is SPMD over the mesh with the CLIP loss spanning the
+    GLOBAL batch — by default through pjit sharding propagation, or
+    explicitly via shard_map + `lax.all_gather` (replacing the custom
+    differentiable NCCL all_gather, autograd_funs.py:5-25 — JAX AD emits
+    the reduce-scatter backward automatically) with `lax.pmean` gradient
+    averaging (replacing DDP allreduce); see make_train_step;
   * optax AdamW (betas 0.9/0.99, eps 1e-8, wd 0.1) + global-norm clip,
     cosine-annealed per epoch, matching train_coati.py:145-152, 276;
   * loss = ar_loss + clip_loss * log2(vocab) (train_coati.py:87, 267-272);
@@ -20,9 +20,8 @@ TPU-native replacement for the reference DDP loop
 
 from __future__ import annotations
 
-import functools
 import time
-from typing import Dict, Iterator, Optional, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
