@@ -74,6 +74,7 @@ def build_model(n_seq: int, dtype: str):
         norm_clips=True,
         token_mlp=True,
         dtype=dtype,
+        kv_dtype=os.environ.get("BENCH_KV", "auto"),
     )
     params = init_coati(jax.random.PRNGKey(0), cfg)
     bench_params = params

@@ -64,6 +64,9 @@ class CoatiConfig:
     honor_msg_cutoff: bool = struct.field(pytree_node=False, default=False)
     dtype: str = struct.field(pytree_node=False, default="float32")
     precision: str = struct.field(pytree_node=False, default="default")
+    # KV-cache storage for generation ("auto" | "int8"; see
+    # TransformerConfig.kv_dtype)
+    kv_dtype: str = struct.field(pytree_node=False, default="auto")
 
     @property
     def embed_dim(self) -> int:
@@ -81,6 +84,7 @@ class CoatiConfig:
             norm_embed=self.norm_embed,
             dtype=self.dtype,
             precision=self.precision,
+            kv_dtype=self.kv_dtype,
         )
 
     @property

@@ -28,7 +28,11 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from coati_tpu.ops.attention import causal_attention, decode_attention
+from coati_tpu.ops.attention import (
+    causal_attention,
+    decode_attention,
+    decode_attention_quant,
+)
 from coati_tpu.ops.layers import (
     cast_floats,
     gelu_tanh,
@@ -54,6 +58,10 @@ class TransformerConfig:
     dtype: str = struct.field(pytree_node=False, default="float32")
     # matmul precision ("default" fast on MXU, "highest" for parity)
     precision: str = struct.field(pytree_node=False, default="default")
+    # KV-cache storage: "auto" (= compute dtype) or "int8" (per-token,
+    # per-head symmetric quantization — decode is bandwidth-bound on
+    # cache reads, so int8 halves the per-step traffic)
+    kv_dtype: str = struct.field(pytree_node=False, default="auto")
 
     @property
     def head_dim(self) -> int:
@@ -282,17 +290,42 @@ def forward_with_stop_emb(
 # ----------------------------------------------------------- decode step
 
 
+@struct.dataclass
+class KVCache:
+    """(L, 2, B, T, H, Dh) key/value storage; `scale` is the per
+    (layer, kv, batch, position, head) dequantization factor when data is
+    int8, else None."""
+
+    data: jnp.ndarray
+    scale: Optional[jnp.ndarray] = None
+
+
+def quantize_kv(x: jnp.ndarray):
+    """Symmetric per-(…, head) int8 quantization over the head dim.
+    x: (..., H, Dh) -> (int8 data, f32 scale (..., H))."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / scale[..., None]), -127, 127
+    ).astype(jnp.int8)
+    return q, scale
+
+
 def make_empty_cache(
     cfg: TransformerConfig, batch: int, width: Optional[int] = None, dtype=None
-) -> jnp.ndarray:
-    """KV cache: (L, 2, B, width, H, Dh). Decode is bandwidth-bound on
-    cache reads, so size the width to the actual generation length
+) -> KVCache:
+    """KV cache sized (L, 2, B, width, H, Dh). Decode is bandwidth-bound
+    on cache reads, so size the width to the actual generation length
     rather than cfg.n_seq when possible."""
-    dtype = dtype or cfg.compute_dtype
     width = width or cfg.n_seq
-    return jnp.zeros(
-        (cfg.n_layer, 2, batch, width, cfg.n_head, cfg.head_dim), dtype
-    )
+    shape = (cfg.n_layer, 2, batch, width, cfg.n_head, cfg.head_dim)
+    if cfg.kv_dtype == "int8":
+        return KVCache(
+            data=jnp.zeros(shape, jnp.int8),
+            scale=jnp.zeros(shape[:-1], jnp.float32),
+        )
+    dtype = dtype or cfg.compute_dtype
+    return KVCache(data=jnp.zeros(shape, dtype), scale=None)
 
 
 def prefill(
@@ -317,28 +350,41 @@ def prefill(
     sin = sin.astype(cfg.compute_dtype)
     if cache is None:
         cache = make_empty_cache(cfg, b)
+    quantized = cache.scale is not None
 
     x = embed_tokens(params, cfg, tokens, injection, inject_token)
 
     def body(x, inputs):
-        blk, layer_cache = inputs
+        blk, layer_data, layer_scale = inputs
         y = layer_norm(x, blk.ln1_scale, blk.ln1_bias)
         qkv = linear(y, blk.w_attn, blk.b_attn, prec)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = apply_rotary(q.reshape(b, p, h, dh), cos[:p, None, :], sin[:p, None, :])
         k = apply_rotary(k.reshape(b, p, h, dh), cos[:p, None, :], sin[:p, None, :])
         v = v.reshape(b, p, h, dh)
-        layer_cache = layer_cache.at[0, :, :p].set(k)
-        layer_cache = layer_cache.at[1, :, :p].set(v)
+        if quantized:
+            k8, ks = quantize_kv(k)
+            v8, vs = quantize_kv(v)
+            layer_data = layer_data.at[0, :, :p].set(k8)
+            layer_data = layer_data.at[1, :, :p].set(v8)
+            layer_scale = layer_scale.at[0, :, :p].set(ks)
+            layer_scale = layer_scale.at[1, :, :p].set(vs)
+        else:
+            layer_data = layer_data.at[0, :, :p].set(k.astype(layer_data.dtype))
+            layer_data = layer_data.at[1, :, :p].set(v.astype(layer_data.dtype))
+        # prefill attention uses the exact (unquantized) K/V
         attn = causal_attention(q, k, v, prec).reshape(b, p, cfg.n_embd)
         x = x + linear(attn, blk.w_proj, blk.b_proj, prec)
         y = layer_norm(x, blk.ln2_scale, blk.ln2_bias)
         x = x + linear(gelu_tanh(linear(y, blk.w_fc, blk.b_fc, prec)), blk.w_out, blk.b_out, prec)
-        return x, layer_cache
+        return x, (layer_data, layer_scale)
 
-    x, cache = jax.lax.scan(body, x, (params.blocks, cache))
+    scale_in = cache.scale if quantized else jnp.zeros((cfg.n_layer, 0))
+    x, (data, scale) = jax.lax.scan(
+        body, x, (params.blocks, cache.data, scale_in)
+    )
     hidden = layer_norm(x, params.lnf_scale, params.lnf_bias)
-    return hidden, cache
+    return hidden, KVCache(data=data, scale=scale if quantized else None)
 
 
 def decode_step(
@@ -374,6 +420,8 @@ def decode_step(
         x = layer_norm(x, params.norm_embed_scale, params.norm_embed_bias)
     x = x.astype(cfg.compute_dtype)  # (B, D)
 
+    quantized = cache.scale is not None
+    data, scale_arr = cache.data, cache.scale
     blocks = params.blocks
     for layer in range(cfg.n_layer):
         blk = jax.tree_util.tree_map(lambda a: a[layer], blocks)
@@ -382,15 +430,39 @@ def decode_step(
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = apply_rotary(q.reshape(b, h, dh), cos1, sin1)
         k = apply_rotary(k.reshape(b, h, dh), cos1, sin1)
-        v = v.reshape(b, h, dh).astype(cache.dtype)
-        k = k.astype(cache.dtype)
-        cache = jax.lax.dynamic_update_slice(
-            cache, k[None, None, :, None], (layer, 0, 0, pos, 0, 0)
-        )
-        cache = jax.lax.dynamic_update_slice(
-            cache, v[None, None, :, None], (layer, 1, 0, pos, 0, 0)
-        )
-        attn = decode_attention(q, cache[layer, 0], cache[layer, 1], pos, prec)
+        v = v.reshape(b, h, dh)
+        if quantized:
+            k8, ks = quantize_kv(k)
+            v8, vs = quantize_kv(v)
+            data = jax.lax.dynamic_update_slice(
+                data, k8[None, None, :, None], (layer, 0, 0, pos, 0, 0)
+            )
+            data = jax.lax.dynamic_update_slice(
+                data, v8[None, None, :, None], (layer, 1, 0, pos, 0, 0)
+            )
+            scale_arr = jax.lax.dynamic_update_slice(
+                scale_arr, ks[None, None, :, None], (layer, 0, 0, pos, 0)
+            )
+            scale_arr = jax.lax.dynamic_update_slice(
+                scale_arr, vs[None, None, :, None], (layer, 1, 0, pos, 0)
+            )
+            attn = decode_attention_quant(
+                q,
+                data[layer, 0],
+                scale_arr[layer, 0],
+                data[layer, 1],
+                scale_arr[layer, 1],
+                pos,
+            )
+        else:
+            k = k.astype(data.dtype)
+            data = jax.lax.dynamic_update_slice(
+                data, k[None, None, :, None], (layer, 0, 0, pos, 0, 0)
+            )
+            data = jax.lax.dynamic_update_slice(
+                data, v.astype(data.dtype)[None, None, :, None], (layer, 1, 0, pos, 0, 0)
+            )
+            attn = decode_attention(q, data[layer, 0], data[layer, 1], pos, prec)
         x = x + linear(attn.reshape(b, cfg.n_embd), blk.w_proj, blk.b_proj, prec)
         y = layer_norm(x, blk.ln2_scale, blk.ln2_bias)
         x = x + linear(
@@ -398,4 +470,4 @@ def decode_step(
         )
     x = layer_norm(x, params.lnf_scale, params.lnf_bias)
     logits = linear(x, params.lm_head, None, prec)
-    return logits, cache
+    return logits, KVCache(data=data, scale=scale_arr)

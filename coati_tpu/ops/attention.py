@@ -43,6 +43,36 @@ def causal_attention(
     return jnp.einsum("bhts,bshd->bthd", probs, v, precision=precision)
 
 
+def decode_attention_quant(
+    q1: jnp.ndarray,
+    k_data: jnp.ndarray,  # (B, T, H, Dh) int8
+    k_scale: jnp.ndarray,  # (B, T, H) f32
+    v_data: jnp.ndarray,
+    v_scale: jnp.ndarray,
+    pos: jnp.ndarray,
+) -> jnp.ndarray:
+    """decode_attention over an int8-quantized cache. Per-token-per-head
+    scales factor out of both contractions exactly:
+        q . (k8 * ks) = (q . k8) * ks        (scores)
+        sum_s p_s * (v8_s * vs_s) = sum_s (p_s * vs_s) * v8_s   (output)
+    so the int8 tensors feed the MXU directly and only (B, T, H) scale
+    vectors are read in fp32."""
+    dh = q1.shape[-1]
+    t_max = k_data.shape[1]
+    scale = 1.0 / jnp.sqrt(jnp.asarray(dh, jnp.float32))
+    scores = jnp.einsum(
+        "bhd,bshd->bhs", q1.astype(jnp.float32), k_data.astype(jnp.float32)
+    )
+    scores = scores * jnp.transpose(k_scale, (0, 2, 1)) * scale
+    valid = jnp.arange(t_max) <= pos
+    scores = jnp.where(valid[None, None, :], scores, _NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    probs = probs * jnp.transpose(v_scale, (0, 2, 1))
+    return jnp.einsum("bhs,bshd->bhd", probs, v_data.astype(jnp.float32)).astype(
+        q1.dtype
+    )
+
+
 def decode_attention(
     q1: jnp.ndarray,
     k_cache: jnp.ndarray,

@@ -188,3 +188,60 @@ def test_sampling_distribution_roughly_matches_reference():
     for pid, p_ref in zip(ref_ids, ref_probs):
         p_emp = float((first == pid).mean())
         assert abs(p_emp - p_ref) < 0.05, (pid, p_ref, p_emp)
+
+
+def test_int8_kv_cache_decode_close_to_fp32():
+    """int8 KV cache (per-token-head symmetric quantization) must produce
+    decode logits close to the fp32 cache, and greedy generations should
+    agree on unambiguous steps."""
+    _, params = make_pair(seed=21)
+    cfg8 = CFG.replace(kv_dtype="int8")
+    rng = np.random.default_rng(22)
+    toks = rng.integers(3, CFG.n_tok, size=(3, 10)).astype(np.int32)
+    p = 4
+
+    def run(cfg):
+        cache = make_empty_cache(cfg, 3)
+        hidden, cache = prefill(params, cfg, jnp.asarray(toks[:, :p]), cache=cache)
+        logits = [np.asarray(hidden[:, -1] @ params.lm_head)]
+        for pos in range(p, toks.shape[1]):
+            l, cache = decode_step(
+                params, cfg, jnp.asarray(toks[:, pos]), jnp.asarray(pos), cache
+            )
+            logits.append(np.asarray(l))
+        return np.stack(logits, 1)
+
+    full = run(CFG)
+    quant = run(cfg8)
+    # prefill logits identical (exact K/V used); decoded positions close
+    np.testing.assert_allclose(quant[:, 0], full[:, 0], atol=1e-5)
+    err = np.abs(quant[:, 1:] - full[:, 1:]).max()
+    ref_scale = np.abs(full).max()
+    assert err / ref_scale < 0.05, (err, ref_scale)
+    # greedy argmax agreement on the overwhelming majority of positions
+    agree = (quant.argmax(-1) == full.argmax(-1)).mean()
+    assert agree > 0.9, agree
+
+
+def test_int8_generation_runs():
+    _, params = make_pair(seed=23)
+    cfg8 = CFG.replace(kv_dtype="int8")
+    out = np.asarray(
+        generate_with_injection_batch(
+            params,
+            cfg8,
+            jax.random.PRNGKey(5),
+            [5, UNK, 6],
+            jnp.asarray(
+                np.random.default_rng(24).normal(size=(4, CFG.n_embd)), jnp.float32
+            ),
+            stop_token=STOP,
+            pad_token=PAD,
+            unk_token=UNK,
+            k=5,
+            inv_temp=1.0,
+        )
+    )
+    assert out.shape[0] == 4
+    for row in out:
+        assert (row == STOP).any()
