@@ -62,6 +62,11 @@ class TransformerConfig:
     # per-head symmetric quantization — decode is bandwidth-bound on
     # cache reads, so int8 halves the per-step traffic)
     kv_dtype: str = struct.field(pytree_node=False, default="auto")
+    # decode attention backend: "xla" (default) or "pallas" (masked-read
+    # flash-decode kernel, ops/pallas/decode_attention.py — reads only
+    # cache blocks <= pos; enable on production TPUs, the dev tunnel's
+    # per-grid-step overhead negates the saving)
+    decode_kernel: str = struct.field(pytree_node=False, default="xla")
 
     @property
     def head_dim(self) -> int:
@@ -462,7 +467,18 @@ def decode_step(
             data = jax.lax.dynamic_update_slice(
                 data, v.astype(data.dtype)[None, None, :, None], (layer, 1, 0, pos, 0, 0)
             )
-            attn = decode_attention(q, data[layer, 0], data[layer, 1], pos, prec)
+            if cfg.decode_kernel == "pallas":
+                from coati_tpu.ops.pallas.decode_attention import (
+                    decode_attention_pallas,
+                )
+
+                attn = decode_attention_pallas(
+                    q, data[layer, 0], data[layer, 1], pos
+                )
+            else:
+                attn = decode_attention(
+                    q, data[layer, 0], data[layer, 1], pos, prec
+                )
         x = x + linear(attn.reshape(b, cfg.n_embd), blk.w_proj, blk.b_proj, prec)
         y = layer_norm(x, blk.ln2_scale, blk.ln2_bias)
         x = x + linear(

@@ -245,3 +245,59 @@ def test_int8_generation_runs():
     assert out.shape[0] == 4
     for row in out:
         assert (row == STOP).any()
+
+
+def test_full_sequence_statistics_match_reference():
+    """Beyond the first-token marginal: full-sequence statistics (length
+    distribution, unigram token frequencies, stop rate) of my sampler vs
+    the reference's loop on identical weights must agree within sampling
+    noise (the SURVEY 'sampler equivalence' requirement)."""
+    ref, params = make_pair(seed=31)
+    prefix = [5, UNK, 6]
+    n = 600
+    payload = np.random.default_rng(32).normal(size=(1, CFG.n_embd)).astype(np.float32)
+    k, inv_temp = 8, 1.5
+
+    with torch.no_grad():
+        ref_rows = ref.generate_top_k_with_inj_batch(
+            prefix=prefix,
+            stop_token=STOP,
+            pad_token=PAD,
+            inv_temp=inv_temp,
+            k=k,
+            inj_token=UNK,
+            inj_payload=torch.tensor(np.tile(payload, (n, 1))),
+        )
+    mine = np.asarray(
+        generate_with_injection_batch(
+            params,
+            CFG,
+            jax.random.PRNGKey(33),
+            prefix,
+            jnp.asarray(np.tile(payload, (n, 1))),
+            stop_token=STOP,
+            pad_token=PAD,
+            unk_token=UNK,
+            k=k,
+            inv_temp=inv_temp,
+        )
+    )
+
+    def stats(rows):
+        lengths, counts = [], np.zeros(CFG.n_tok)
+        for row in rows:
+            row = list(row)
+            end = row.index(STOP) if STOP in row else len(row)
+            gen = row[len(prefix) : end]
+            lengths.append(len(gen))
+            for t in gen:
+                counts[t] += 1
+        return np.mean(lengths), counts / max(counts.sum(), 1)
+
+    len_ref, freq_ref = stats([list(r) for r in ref_rows])
+    len_mine, freq_mine = stats(mine)
+    # mean generated length within 15% (sampling noise at n=600)
+    assert abs(len_mine - len_ref) / max(len_ref, 1) < 0.15, (len_mine, len_ref)
+    # unigram distributions close in total variation
+    tv = 0.5 * np.abs(freq_ref - freq_mine).sum()
+    assert tv < 0.08, tv
