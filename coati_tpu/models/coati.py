@@ -67,6 +67,9 @@ class CoatiConfig:
     # KV-cache storage for generation ("auto" | "int8"; see
     # TransformerConfig.kv_dtype)
     kv_dtype: str = struct.field(pytree_node=False, default="auto")
+    # decode attention backend ("xla" | "pallas"; see
+    # TransformerConfig.decode_kernel)
+    decode_kernel: str = struct.field(pytree_node=False, default="xla")
 
     @property
     def embed_dim(self) -> int:
@@ -85,6 +88,7 @@ class CoatiConfig:
             dtype=self.dtype,
             precision=self.precision,
             kv_dtype=self.kv_dtype,
+            decode_kernel=self.decode_kernel,
         )
 
     @property

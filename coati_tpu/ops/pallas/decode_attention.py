@@ -40,7 +40,8 @@ def _kernel(pos_ref, q_ref, k_ref, v_ref, out_ref, seg_ref, *, h, dh):
     t_max = k_ref.shape[1]
     hd = h * dh
     pos = pos_ref[0]
-    n_blocks = t_max // TILE_T
+    tile_t = TILE_T if t_max % TILE_T == 0 else t_max
+    n_blocks = t_max // tile_t
 
     q = q_ref[0]  # (1, H*Dh)
     seg = seg_ref[:]  # (H*Dh, H) block-diagonal head selector
@@ -50,8 +51,8 @@ def _kernel(pos_ref, q_ref, k_ref, v_ref, out_ref, seg_ref, *, h, dh):
 
         def compute(carry):
             m, l, acc = carry
-            k = k_ref[0, pl.ds(jblk * TILE_T, TILE_T), :]
-            v = v_ref[0, pl.ds(jblk * TILE_T, TILE_T), :]
+            k = k_ref[0, pl.ds(jblk * tile_t, tile_t), :]
+            v = v_ref[0, pl.ds(jblk * tile_t, tile_t), :]
             # scores[s, h] = sum_dh q[h,dh] * k[s,h,dh]
             scores = jax.lax.dot_general(
                 k * q, seg,
@@ -59,8 +60,8 @@ def _kernel(pos_ref, q_ref, k_ref, v_ref, out_ref, seg_ref, *, h, dh):
                 precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32,
             ) / (dh ** 0.5)
-            s_ids = jblk * TILE_T + jax.lax.broadcasted_iota(
-                jnp.int32, (TILE_T, h), 0
+            s_ids = jblk * tile_t + jax.lax.broadcasted_iota(
+                jnp.int32, (tile_t, h), 0
             )
             scores = jnp.where(s_ids <= pos, scores, _NEG_INF)
             blk_max = jnp.max(scores, axis=0)  # (H,)
@@ -81,7 +82,7 @@ def _kernel(pos_ref, q_ref, k_ref, v_ref, out_ref, seg_ref, *, h, dh):
             return new_m, new_l, new_acc
 
         return jax.lax.cond(
-            jblk * TILE_T <= pos, compute, lambda c: c, carry
+            jblk * tile_t <= pos, compute, lambda c: c, carry
         )
 
     m0 = jnp.full((h,), _NEG_INF, jnp.float32)
@@ -106,7 +107,11 @@ def decode_attention_pallas(
     interpret: bool = False,
 ) -> jnp.ndarray:
     b, t, h, dh = k_cache.shape
-    assert t % TILE_T == 0, f"cache width {t} must be a multiple of {TILE_T}"
+    if t % TILE_T != 0 and t % 8 != 0:
+        # width incompatible with TPU sublane tiling: degrade gracefully
+        from coati_tpu.ops.attention import decode_attention
+
+        return decode_attention(q1, k_cache, v_cache, pos)
     hd = h * dh
     pos_arr = jnp.full((1,), pos, jnp.int32)
     q_flat = q1.astype(jnp.float32).reshape(b, 1, hd)

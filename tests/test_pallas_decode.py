@@ -27,6 +27,23 @@ def test_interpret_matches_xla(pos):
     np.testing.assert_allclose(mine, ref, atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.parametrize("t", [64, 96, 100])
+def test_non_128_widths(t):
+    """Real generation widths (64/96) take the single-block path; widths
+    incompatible with sublane tiling fall back to the XLA kernel."""
+    rng = np.random.default_rng(2)
+    b, h, dh = 2, 2, 16
+    q = jnp.asarray(rng.normal(size=(b, h, dh)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, t, h, dh)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, t, h, dh)), jnp.float32)
+    for pos in (0, t // 2, t - 1):
+        ref = np.asarray(decode_attention(q, k, v, jnp.asarray(pos)))
+        mine = np.asarray(
+            decode_attention_pallas(q, k, v, jnp.asarray(pos), interpret=True)
+        )
+        np.testing.assert_allclose(mine, ref, atol=1e-5, rtol=1e-5)
+
+
 def test_multiblock_online_softmax():
     """T spanning multiple TILE_T blocks exercises the cross-block
     online-softmax accumulation."""
