@@ -72,6 +72,10 @@ class TrainConfig:
     resume_document: Optional[str] = None
     resume_optimizer: bool = False
 
+    # distributed step formulation: "pjit" (SPMD sharding propagation) or
+    # "shard_map" (explicit all_gather + pmean); see training/train.py
+    parallel_mode: str = "pjit"
+
     def as_dict(self) -> dict:
         return dataclasses.asdict(self)
 

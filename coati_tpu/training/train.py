@@ -321,6 +321,7 @@ def train_autoencoder(
         token_entropy_unit=token_entropy_unit,
         do_clip=config.do_clip,
         is_training=True,
+        mode=config.parallel_mode,
     )
     step_eval = make_train_step(
         mesh, model_cfg, optimizer,
@@ -330,6 +331,7 @@ def train_autoencoder(
         token_entropy_unit=token_entropy_unit,
         do_clip=config.do_clip,
         is_training=False,
+        mode=config.parallel_mode,
     )
 
     from coati_tpu.data.xform import clip_ar_xform

@@ -64,3 +64,13 @@ def test_sharded_generation_runs(setup):
     out = sharded.hclip_to_2d_batch(h, tok, k=10, inv_temp=1.0)
     assert len(out) == 10
     assert all(isinstance(s, str) for s in out)
+
+
+def test_sharded_greedy_generation_matches_single_device(setup):
+    """k=1 decoding is deterministic; sharding the batch over the mesh
+    must not change the generated tokens."""
+    model, sharded, tok = setup
+    h = np.random.default_rng(5).normal(size=(8, 32)).astype(np.float32)
+    single = model.hclip_to_2d_batch(h, tok, k=1, inv_temp=1.0)
+    multi = sharded.hclip_to_2d_batch(h, tok, k=1, inv_temp=1.0)
+    assert single == multi
