@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from coati_tpu.models import coati as F
 from coati_tpu.models.coati import CoatiConfig, CoatiParams
-from coati_tpu.models.sampler import generate_tokens
+from coati_tpu.models.sampler import auto_stage_widths, generate_tokens
 from coati_tpu.tokenizers.trie_tokenizer import TrieTokenizer
 
 
@@ -142,6 +142,7 @@ class COATI:
             inv_temp=inv_temp,
             inj_payload=h_token,
             inject_token=tokenizer.unk_token,
+            stage_widths=auto_stage_widths(len(prefix), total_len),
         )
         return np.asarray(out[:b])
 

@@ -40,6 +40,21 @@ from coati_tpu.models.transformer import (
 from coati_tpu.ops.sampling import sample_top_k
 
 
+def auto_stage_widths(prefill_len: int, total_len: int) -> Optional[tuple]:
+    """Default staged-decode schedule: thirds rounded to 16, so average
+    cache-read width ≈ 2/3 of total (bf16 tie-flips aside, staging is
+    semantically exact — verified in fp32)."""
+    if total_len < 64:
+        return None
+    def r16(x):
+        return max(16, (x // 16) * 16)
+    widths = sorted({max(prefill_len + 1, r16(total_len // 3)),
+                     max(prefill_len + 1, r16(2 * total_len // 3)),
+                     total_len})
+    widths = [w for w in widths if w <= total_len]
+    return tuple(widths) if len(widths) > 1 else None
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -51,6 +66,7 @@ from coati_tpu.ops.sampling import sample_top_k
         "k",
         "inject_token",
         "approx_top_k",
+        "stage_widths",
     ),
 )
 def generate_tokens(
@@ -69,15 +85,33 @@ def generate_tokens(
     inj_payload: Optional[jnp.ndarray] = None,  # (B, D)
     inject_token: Optional[int] = None,
     approx_top_k: bool = True,  # TPU-fast threshold (see ops/sampling.py)
+    stage_widths: Optional[tuple] = None,  # staged cache growth, see below
 ) -> jnp.ndarray:
-    """Returns (B, total_len) int32 tokens including the prefix."""
+    """Returns (B, total_len) int32 tokens including the prefix.
+
+    stage_widths (e.g. (32, 64, 96)): decode is bandwidth-bound on
+    reading the full cache width every step, so the loop can run in
+    STAGES with a growing cache — early tokens attend against a narrow
+    cache, which is then copied into a wider buffer between stages (all
+    inside this one jitted program). Average traffic scales with the
+    mean stage width instead of total_len. Widths must be increasing and
+    end >= total_len; None = single stage at total_len.
+    """
     b = prefix_tokens.shape[0]
     assert 1 <= prefill_len <= total_len <= cfg.n_seq
     tokens = prefix_tokens.astype(jnp.int32)
 
-    # size the cache to the requested generation length: every decode
-    # step reads the full cache width, so this directly scales step time
-    cache = make_empty_cache(cfg, b, width=total_len)
+    if stage_widths is None:
+        stage_widths = (total_len,)
+    stage_widths = tuple(min(w, total_len) for w in stage_widths)
+    assert stage_widths[-1] == total_len and all(
+        stage_widths[i] < stage_widths[i + 1] for i in range(len(stage_widths) - 1)
+    ), f"stage_widths {stage_widths} must increase and end at {total_len}"
+    assert prefill_len <= stage_widths[0]
+
+    # size the cache to the first stage width: every decode step reads
+    # the full cache width, so this directly scales step time
+    cache = make_empty_cache(cfg, b, width=stage_widths[0])
     hidden, cache = prefill(
         params,
         cfg,
@@ -91,10 +125,6 @@ def generate_tokens(
 
     # a row is "stopped" once any written token equals [STOP]
     stopped0 = jnp.any(tokens[:, :prefill_len] == stop_token, axis=1)
-
-    def cond(state):
-        pos, _, stopped, _, _ = state
-        return jnp.logical_and(pos < total_len, ~jnp.all(stopped))
 
     def body(state):
         pos, tokens, stopped, cache, last_logits = state
@@ -111,6 +141,18 @@ def generate_tokens(
         new_logits, cache = decode_step(params, cfg, tok, pos, cache)
         return pos + 1, tokens, stopped, cache, new_logits.astype(jnp.float32)
 
+    def widen(cache, width):
+        wide = make_empty_cache(cfg, b, width=width)
+        data = jax.lax.dynamic_update_slice(
+            wide.data, cache.data, (0, 0, 0, 0, 0, 0)
+        )
+        scale = wide.scale
+        if scale is not None:
+            scale = jax.lax.dynamic_update_slice(
+                scale, cache.scale, (0, 0, 0, 0, 0)
+            )
+        return wide.replace(data=data, scale=scale)
+
     state = (
         jnp.asarray(prefill_len, jnp.int32),
         tokens,
@@ -118,7 +160,17 @@ def generate_tokens(
         cache,
         last_logits.astype(jnp.float32),
     )
-    pos, tokens, stopped, _, _ = jax.lax.while_loop(cond, body, state)
+    for i, width in enumerate(stage_widths):
+        if i > 0:
+            pos, tokens, stopped, cache, last_logits = state
+            state = (pos, tokens, stopped, widen(cache, width), last_logits)
+
+        def cond(state, width=width):
+            pos, _, stopped, _, _ = state
+            return jnp.logical_and(pos < width, ~jnp.all(stopped))
+
+        state = jax.lax.while_loop(cond, body, state)
+    pos, tokens, stopped, _, _ = state
 
     # force [STOP] at the last written position for rows that never stopped
     last = jnp.maximum(pos - 1, 0)

@@ -301,3 +301,30 @@ def test_full_sequence_statistics_match_reference():
     # unigram distributions close in total variation
     tv = 0.5 * np.abs(freq_ref - freq_mine).sum()
     assert tv < 0.08, tv
+
+
+def test_staged_decode_matches_single_stage_exact():
+    """Staged cache-width growth is semantically exact: greedy outputs at
+    fp32 must be identical to the single-stage loop."""
+    from coati_tpu.models.sampler import auto_stage_widths, generate_tokens
+    import functools
+
+    _, params = make_pair(seed=41)
+    cfg = CFG.replace(n_seq=96)
+    pre = jnp.zeros((6, 96), jnp.int32).at[:, :3].set(jnp.asarray([5, UNK, 6]))
+    g = functools.partial(
+        generate_tokens,
+        prefill_len=3, total_len=96, stop_token=STOP, pad_token=PAD,
+        k=1, inv_temp=1.0,
+    )
+    lens = jnp.full((6,), 3, jnp.int32)
+    single = np.asarray(g(params, cfg, jax.random.PRNGKey(0), pre, lens))
+    staged = np.asarray(
+        g(params, cfg, jax.random.PRNGKey(0), pre, lens, stage_widths=(32, 64, 96))
+    )
+    np.testing.assert_array_equal(single, staged)
+
+    # schedule helper sanity
+    assert auto_stage_widths(3, 32) is None
+    ws = auto_stage_widths(3, 96)
+    assert ws[-1] == 96 and all(ws[i] < ws[i + 1] for i in range(len(ws) - 1))
