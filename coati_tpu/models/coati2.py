@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from coati_tpu.models.sampler import generate_tokens
+from coati_tpu.models.sampler import auto_stage_widths, generate_tokens
 from coati_tpu.models.transformer import (
     TransformerConfig,
     TransformerParams,
@@ -238,6 +238,7 @@ class COATI2:
             inv_temp=inv_temp,
             inj_payload=h_token,
             inject_token=tokenizer.unk_token,
+            stage_widths=auto_stage_widths(len(prefix), total_len),
         )
         out = np.asarray(out)[:n_real]
         smiles = [tokenizer.decode(list(r), special=keep_special) for r in out]

@@ -19,7 +19,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from coati_tpu.models import coati as F
 from coati_tpu.models.api import COATI
-from coati_tpu.models.sampler import generate_tokens
+from coati_tpu.models.sampler import auto_stage_widths, generate_tokens
 from coati_tpu.tokenizers.trie_tokenizer import TrieTokenizer
 
 
@@ -108,6 +108,7 @@ class ShardedCOATI:
             inv_temp=inv_temp,
             inj_payload=h_token,
             inject_token=tokenizer.unk_token,
+            stage_widths=auto_stage_widths(len(prefix), total_len),
         )
         out = np.asarray(out)[:b]
         return [tokenizer.decode(list(r), special=keep_special) for r in out]
