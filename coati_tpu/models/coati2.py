@@ -13,7 +13,6 @@ controlled generation.
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import numpy as np
 
@@ -50,6 +49,9 @@ class Coati2Config:
     biases: bool = struct.field(pytree_node=False, default=True)
     dtype: str = struct.field(pytree_node=False, default="float32")
     precision: str = struct.field(pytree_node=False, default="default")
+    # rematerialize transformer activations in backward (training-only
+    # concern; COATI2-grande at 512 width needs it to fit HBM)
+    remat: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def xformer_config(self) -> TransformerConfig:
@@ -63,6 +65,7 @@ class Coati2Config:
             norm_embed=False,
             dtype=self.dtype,
             precision=self.precision,
+            remat=self.remat,
         )
 
 
@@ -147,6 +150,68 @@ def smiles_to_coati(params: Coati2Params, cfg: Coati2Config, h: jnp.ndarray):
     if cfg.enc_to_coati == "swiglu_mlp":
         return apply_swiglu_mlp(params.smiles_to_coati, h, prec)
     return apply_swiglu_resnet(params.smiles_to_coati, h, prec)
+
+
+# ------------------------------------------------------ training objective
+
+
+def direct_clr_loss(
+    h1: jnp.ndarray,
+    h2: jnp.ndarray,
+    bad_rows: jnp.ndarray,
+    n_direct_clr: int,
+    inv_temp: float = 10.0,
+) -> jnp.ndarray:
+    """directCLR (Jing et al. 2021, arXiv:2110.09348): symmetric InfoNCE
+    applied DIRECTLY to the leading `n_direct_clr` dims of the embedding,
+    no projection head. The slice width is the reference's
+    Coati2Config.n_direct_clr (transformer_only.py:56) — the only trace
+    the published inference code leaves of the COATI2 training loss.
+    Sub-vectors are L2-normalized; inv_temp (1/τ) scales the logits."""
+    from coati_tpu.models.coati import clip_loss
+
+    z1 = h1[:, :n_direct_clr].astype(jnp.float32)
+    z2 = h2[:, :n_direct_clr].astype(jnp.float32)
+    z1 = z1 / jnp.maximum(jnp.linalg.norm(z1, axis=-1, keepdims=True), 1e-6)
+    z2 = z2 / jnp.maximum(jnp.linalg.norm(z2, axis=-1, keepdims=True), 1e-6)
+    return clip_loss(z1 * inv_temp, z2, bad_rows)
+
+
+def coati2_training_forward(
+    params: Coati2Params,
+    cfg: Coati2Config,
+    tokens: jnp.ndarray,
+    raw_tokens: jnp.ndarray,
+    rand_tokens: jnp.ndarray,
+    stop_token: int,
+    unk_token: int,
+):
+    """Training forward for the COATI2 recipe (BEYOND-PARITY — the
+    reference ships COATI2 inference only).
+
+    Two SMILES serializations of each molecule (canonical `raw_tokens`,
+    permuted `rand_tokens`) are encoded to coati space for the directCLR
+    views; the canonical embedding is mapped through coati_to_token and
+    injected over [UNK] in the property-conditioned AR target `tokens`
+    (the inference decode path, transformer_only.py:113-153, in reverse).
+
+    Returns (h_canonical, h_permuted, logits, bad_rows)."""
+    from coati_tpu.models.transformer import forward_logits
+
+    xcfg = cfg.xformer_config
+    prec = xcfg.mm_precision
+    # both views in one doubled-batch pass (the xform pads them to a
+    # shared width) — better MXU utilization than two half-size passes
+    views = jnp.concatenate([raw_tokens, rand_tokens], axis=0)
+    hidden = forward_hidden(params.xformer, xcfg, views)
+    h12 = smiles_to_coati(
+        params, cfg, stop_token_hidden(hidden, views, stop_token)
+    )
+    h1, h2 = jnp.split(h12, 2, axis=0)
+    h_token = apply_swiglu_resnet(params.coati_to_token, h1, prec)
+    logits = forward_logits(params.xformer, xcfg, tokens, h_token, unk_token)
+    bad_rows = jnp.sum(tokens, axis=-1) < 1
+    return h1, h2, logits, bad_rows
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "stop_token"))

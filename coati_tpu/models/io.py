@@ -136,7 +136,13 @@ def load_coati2(
     print(f"Loading model from {doc_url}")
     doc = load_model_doc(doc_url)
     cfg = coati2_config_from_model_kwargs(doc["model_kwargs"])
-    params = convert_coati2(strip_module_prefix(doc["model"]), cfg)
+    sd = strip_module_prefix(doc["model"])
+    if any("." in k for k in sd):
+        # reference-format flat state_dict (simple_coati2/io.py:21-84)
+        params = convert_coati2(sd, cfg)
+    else:
+        # coati_tpu-format nested numpy dict (train_coati2 checkpoints)
+        params = coati2_params_from_state(cfg, sd)
     tokenizer_vocab = doc["train_args"]["tokenizer_vocab"]
     print(f"Loading tokenizer {tokenizer_vocab} from {doc_url}")
     tokenizer = TrieTokenizer(n_seq=cfg.n_seq, **get_vocab(tokenizer_vocab))
@@ -159,6 +165,13 @@ def params_to_state(params) -> dict:
 
 def params_from_state(cfg: CoatiConfig, state: dict) -> CoatiParams:
     template = init_coati(jax.random.PRNGKey(0), cfg)
+    return serialization.from_state_dict(template, state)
+
+
+def coati2_params_from_state(cfg, state: dict):
+    from coati_tpu.models.coati2 import init_coati2
+
+    template = init_coati2(jax.random.PRNGKey(0), cfg)
     return serialization.from_state_dict(template, state)
 
 

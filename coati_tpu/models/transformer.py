@@ -67,6 +67,10 @@ class TransformerConfig:
     # cache blocks <= pos; enable on production TPUs, the dev tunnel's
     # per-grid-step overhead negates the saving)
     decode_kernel: str = struct.field(pytree_node=False, default="xla")
+    # rematerialize block activations in the backward pass (trades ~30%
+    # more forward FLOPs for O(layers) less activation HBM — required for
+    # wide models like COATI2-grande at training batch sizes)
+    remat: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def head_dim(self) -> int:
@@ -237,6 +241,8 @@ def forward_hidden(
     def body(x, blk):
         return _block_full(x, blk, cfg, cos, sin), None
 
+    if cfg.remat:
+        body = jax.checkpoint(body)
     x, _ = jax.lax.scan(body, x, params.blocks)
     return layer_norm(x, params.lnf_scale, params.lnf_bias)
 

@@ -42,6 +42,14 @@ class CheckpointManager:
         )
 
     def save(self, step: int, state: Any, metadata: Optional[dict] = None) -> None:
+        latest = self._mgr.latest_step()
+        if latest is not None and step < latest:
+            return  # stale re-save from a resumed run; keep the newer step
+        if latest is not None and step == latest:
+            # end-of-run checkpoint at the last cadence step: replace it
+            # (orbax refuses in-place step rewrites)
+            self._mgr.wait_until_finished()
+            self._mgr.delete(step)
         args = ocp.args.Composite(
             state=ocp.args.StandardSave(state),
             **(

@@ -71,6 +71,11 @@ class TrainConfig:
 
     resume_document: Optional[str] = None
     resume_optimizer: bool = False
+    # orbax restart-from-latest (SURVEY §5.3: the reference has no elastic
+    # recovery; async checkpoints + restart replace it). When set, every
+    # checkpoint also lands in this directory and training resumes from
+    # the latest one automatically.
+    orbax_dir: Optional[str] = None
 
     # distributed step formulation: "pjit" (SPMD sharding propagation) or
     # "shard_map" (explicit all_gather + pmean); see training/train.py

@@ -34,7 +34,7 @@ from jax import shard_map
 from coati_tpu.models import coati as F
 from coati_tpu.models.coati import CoatiConfig, CoatiParams, init_coati
 from coati_tpu.models.io import params_to_state, serialize_model
-from coati_tpu.parallel.mesh import make_mesh, replicate_params, shard_batch
+from coati_tpu.parallel.mesh import make_mesh, shard_batch
 from coati_tpu.tokenizers import get_vocab
 from coati_tpu.tokenizers.trie_tokenizer import TrieTokenizer
 from coati_tpu.training.config import TrainConfig
@@ -302,8 +302,21 @@ def train_autoencoder(
             params = loaded
         print("Loaded from checkpoint. ")
 
-    params = replicate_params(mesh, params)
+    # DP meshes replicate; a mesh with a "model" axis gets Megatron-style
+    # tensor-parallel weight shardings (parallel/tp.py; pjit mode only —
+    # GSPMD inserts the TP collectives)
+    from coati_tpu.parallel.tp import shard_params
+
+    if (
+        config.parallel_mode != "pjit"
+        and "model" in mesh.axis_names
+        and mesh.shape["model"] > 1
+    ):
+        raise ValueError("tensor parallelism requires parallel_mode='pjit'")
+    params = shard_params(mesh, params)
     opt_state = optimizer.init(params)
+    start_epoch = 0
+    global_step = 0
 
     if config.resume_document is not None and config.resume_optimizer:
         try:
@@ -312,6 +325,36 @@ def train_autoencoder(
                 opt_state = jax.tree_util.tree_map(jnp.asarray, saved_opt)
         except Exception as ex:  # noqa: BLE001 - mirror reference tolerance
             print("failed to resume optimizer", ex)
+
+    ckpt_mgr = None
+    if config.orbax_dir:
+        from coati_tpu.training.checkpoints import HAS_ORBAX, CheckpointManager
+
+        if HAS_ORBAX:
+            ckpt_mgr = CheckpointManager(config.orbax_dir)
+            restored = ckpt_mgr.restore_latest(
+                {
+                    "params": params,
+                    "opt_state": opt_state,
+                    "counters": np.zeros((4,), np.int64),
+                }
+            )
+            if restored is not None:
+                # re-commit onto the mesh: the template's freshly-init'd
+                # opt_state scalars carry single-device placements
+                from coati_tpu.parallel.tp import commit_opt_state
+
+                params = shard_params(mesh, restored["params"])
+                opt_state = commit_opt_state(mesh, restored["opt_state"], opt_state)
+                n_toks, ngrad_updates, start_epoch, global_step = (
+                    int(x) for x in restored["counters"]
+                )
+                print(
+                    f"Resumed from orbax step {ckpt_mgr.latest_step()} "
+                    f"(epoch {start_epoch})"
+                )
+        else:
+            print("orbax_dir set but orbax-checkpoint unavailable; skipping")
 
     step_train = make_train_step(
         mesh, model_cfg, optimizer,
@@ -353,7 +396,7 @@ def train_autoencoder(
     results = {"epochs": [], "losses": [], "best_test": 1e10, "best_epoch": 0,
                "best_params": None}
 
-    def checkpoint(tags):
+    def checkpoint(tags, epoch: int = 0):
         nonlocal ngrad_updates
         blob = serialize_model(
             train_args=config.as_dict(),
@@ -369,9 +412,20 @@ def train_autoencoder(
         )
         if logger is not None:
             logger.log_model_document(blob, tags=tags)
+        if ckpt_mgr is not None:
+            ckpt_mgr.save(
+                global_step,
+                {
+                    "params": params,
+                    "opt_state": opt_state,
+                    "counters": np.asarray(
+                        [n_toks, ngrad_updates, epoch, global_step], np.int64
+                    ),
+                },
+            )
 
     def do_epoch(epoch: int, partition: str) -> Optional[float]:
-        nonlocal rng, params, opt_state, n_toks, ngrad_updates
+        nonlocal rng, params, opt_state, n_toks, ngrad_updates, global_step
         from coati_tpu.training.diagnostics import step_timer
 
         timer = step_timer()
@@ -401,6 +455,7 @@ def train_autoencoder(
                     params, opt_state, metrics = step_train(
                         params, opt_state, step_rng, device_batch
                     )
+                    global_step += 1
                 else:
                     _, _, metrics = step_eval(
                         params, opt_state, step_rng, device_batch
@@ -416,7 +471,10 @@ def train_autoencoder(
                 n_toks += int((batch["tokens"] > 0).sum())
                 if ngrad_updates > config.ngrad_to_save:
                     ngrad_updates = 0
-                    checkpoint({"train_epoch": str(epoch), "dataset_epoch": str(epoch)})
+                    checkpoint(
+                        {"train_epoch": str(epoch), "dataset_epoch": str(epoch)},
+                        epoch=epoch,
+                    )
                 if logger is not None and i % config.log_batch_loss == 0:
                     offline_losses["batch_losses"].append(
                         logger.log_metric(
@@ -465,7 +523,7 @@ def train_autoencoder(
                 )
         return total_loss / counter
 
-    for epoch in range(config.n_epochs):
+    for epoch in range(start_epoch, config.n_epochs):
         opt_state = set_learning_rate(opt_state, cosine_lr(config, epoch))
         do_epoch(epoch, "train")
         if epoch % config.test_interval == 0 and epoch > 0 and is_main:
@@ -485,5 +543,8 @@ def train_autoencoder(
             )
 
     if is_main:
-        checkpoint({"best": "best"})
+        checkpoint({"best": "best"}, epoch=config.n_epochs)
+    if ckpt_mgr is not None:
+        ckpt_mgr.wait()
+        ckpt_mgr.close()
     return params, results

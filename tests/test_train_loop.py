@@ -112,3 +112,23 @@ def test_train_loop_and_resume(tmp_path):
     params3, _ = train_autoencoder(
         config3, TinySyntheticDataset(), logger=None, max_steps_per_epoch=2
     )
+
+
+def test_train_loop_orbax_resume(tmp_path):
+    """orbax restart-from-latest (TrainConfig.orbax_dir): a second run
+    over the same directory resumes past the completed epoch and returns
+    the checkpointed params unchanged."""
+    pytest.importorskip("orbax.checkpoint")
+    odir = str(tmp_path / "orbax")
+    config = tiny_config(tmp_path, orbax_dir=odir, n_epochs=1, ngrad_to_save=1)
+    params1, _ = train_autoencoder(
+        config, TinySyntheticDataset(), logger=None, max_steps_per_epoch=3
+    )
+    config2 = tiny_config(tmp_path, orbax_dir=odir, n_epochs=1, ngrad_to_save=1)
+    params2, _ = train_autoencoder(
+        config2, TinySyntheticDataset(), logger=None, max_steps_per_epoch=3
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params1), jax.tree_util.tree_leaves(params2)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
