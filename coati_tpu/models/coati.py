@@ -70,6 +70,11 @@ class CoatiConfig:
     # decode attention backend ("xla" | "pallas"; see
     # TransformerConfig.decode_kernel)
     decode_kernel: str = struct.field(pytree_node=False, default="xla")
+    # activation rematerialization in backward (see TransformerConfig.remat
+    # / EgnnConfig.remat): the EGNN defaults on to bound the (B,N,N,H)
+    # peak; the 256-wide transformer fits without it
+    remat: bool = struct.field(pytree_node=False, default=False)
+    egnn_remat: bool = struct.field(pytree_node=False, default=True)
 
     @property
     def embed_dim(self) -> int:
@@ -89,6 +94,7 @@ class CoatiConfig:
             precision=self.precision,
             kv_dtype=self.kv_dtype,
             decode_kernel=self.decode_kernel,
+            remat=self.remat,
         )
 
     @property
@@ -103,6 +109,7 @@ class CoatiConfig:
             dropout=0.0,
             dtype=self.dtype,
             precision=self.precision,
+            remat=self.egnn_remat,
         )
 
 

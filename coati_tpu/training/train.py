@@ -88,6 +88,7 @@ def model_config_from_train_config(config: TrainConfig, n_tok: int) -> CoatiConf
         token_mlp=config.token_mlp,
         use_point_encoder=config.do_clip,
         dtype=config.dtype,
+        egnn_remat=config.egnn_remat,
     )
 
 
