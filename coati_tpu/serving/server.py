@@ -1,0 +1,265 @@
+"""HTTP inference server over a COATI / COATI2 model.
+
+BEYOND-PARITY: the reference has no serving story (models are driven
+from notebooks in-process). This serves the two production workloads —
+SMILES -> embedding and embedding -> SMILES — behind micro-batching
+(batcher.py) so concurrent callers share device programs. stdlib-only
+(ThreadingHTTPServer + JSON): no framework dependency to gate.
+
+Endpoints (all JSON):
+  GET  /healthz                  -> {"status": "ok", "model": ..., "device": ...}
+  POST /embed    {"smiles": [...]}
+      -> {"embeddings": [[...], ...]}   (invalid rows embed as-is; the
+                                         tokenizer raises -> 400 with detail)
+  POST /generate {"embeddings": [[...]], "k": 100, "inv_temp": 2.0,
+                  "noise_scale": 0.0}
+      -> {"smiles": [...]}
+  POST /analogs  {"smiles": [...], "noise_scale": 0.3, "n_analogs": 4,
+                  "k": 100, "inv_temp": 2.0}
+      -> {"analogs": [[...n_analogs per input...], ...]}  (embed ->
+         noisy decode round trip, the tutorial.ipynb workflow as a service)
+
+Generation parameters are part of the batch key: requests only batch
+together when (k, inv_temp, noise_scale) agree, since they are traced
+constants / shared knobs of one device program.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+from coati_tpu.serving.batcher import MicroBatcher
+
+
+class _ModelFrontend:
+    """Model-type dispatch: COATI (models/api.py) or COATI2
+    (models/coati2.py) behind one embed/generate surface."""
+
+    def __init__(self, model, tokenizer):
+        self.model = model
+        self.tokenizer = tokenizer
+        self.is_coati2 = hasattr(model, "hcoati_to_2d_batch")
+        self.embed_dim = model.embed_dim
+
+    def embed(self, smiles_list):
+        tok = self.tokenizer
+        tokens = np.asarray(
+            [
+                tok.tokenize_text("[SMILES]" + s + "[STOP]", pad=True)
+                for s in smiles_list
+            ],
+            np.int32,
+        )
+        return np.asarray(self.model.encode_tokens(tokens, tok), np.float32)
+
+    def generate(self, h, k, inv_temp, noise_scale):
+        h = np.asarray(h, np.float32)
+        if self.is_coati2:
+            return self.model.hcoati_to_2d_batch(
+                h, self.tokenizer, noise_scale=noise_scale,
+                inv_temp=inv_temp, k=k,
+            )
+        return self.model.hclip_to_2d_batch(
+            h, self.tokenizer, noise_scale=noise_scale,
+            inv_temp=inv_temp, k=k,
+        )
+
+
+class CoatiInferenceServer:
+    """Micro-batched HTTP server. Usage:
+
+        server = CoatiInferenceServer(model, tokenizer, port=8000)
+        server.start()          # returns immediately (daemon threads)
+        ...
+        server.stop()
+
+    port=0 picks a free port (server.port after start()).
+    """
+
+    def __init__(
+        self,
+        model,
+        tokenizer,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        max_batch: int = 256,
+        flush_ms: float = 20.0,
+    ):
+        self.frontend = _ModelFrontend(model, tokenizer)
+        self.host = host
+        self.port = port
+        self._embed_batcher = MicroBatcher(
+            self.frontend.embed, max_batch=max_batch, flush_ms=flush_ms,
+            name="embed-batcher",
+        )
+        # one batcher per generation-parameter tuple (traced constants)
+        self._gen_batchers: dict = {}
+        self._gen_lock = threading.Lock()
+        self._max_batch = max_batch
+        self._flush_ms = flush_ms
+        self._httpd: Optional[ThreadingHTTPServer] = None
+        self._thread: Optional[threading.Thread] = None
+
+    def _gen_batcher(self, k: int, inv_temp: float, noise_scale: float):
+        key = (int(k), float(inv_temp), float(noise_scale))
+        with self._gen_lock:
+            if key not in self._gen_batchers:
+                fe = self.frontend
+
+                def gen_fn(rows, _key=key):
+                    kk, it, ns = _key
+                    return fe.generate(np.stack(rows), kk, it, ns)
+
+                self._gen_batchers[key] = MicroBatcher(
+                    gen_fn, max_batch=self._max_batch,
+                    flush_ms=self._flush_ms, name=f"gen-batcher{key}",
+                )
+            return self._gen_batchers[key]
+
+    # ------------------------------------------------------- request ops
+
+    def op_embed(self, body: dict) -> dict:
+        smiles = body["smiles"]
+        futs = [self._embed_batcher.submit(s) for s in smiles]
+        return {"embeddings": [f.result().tolist() for f in futs]}
+
+    def op_generate(self, body: dict) -> dict:
+        h = np.asarray(body["embeddings"], np.float32)
+        if h.ndim != 2 or h.shape[1] != self.frontend.embed_dim:
+            raise ValueError(
+                f"embeddings must be (n, {self.frontend.embed_dim})"
+            )
+        batcher = self._gen_batcher(
+            body.get("k", 100), body.get("inv_temp", 2.0),
+            body.get("noise_scale", 0.0),
+        )
+        futs = [batcher.submit(row) for row in h]
+        return {"smiles": [f.result() for f in futs]}
+
+    def op_analogs(self, body: dict) -> dict:
+        smiles = body["smiles"]
+        n_analogs = int(body.get("n_analogs", 4))
+        emb = self.op_embed({"smiles": smiles})["embeddings"]
+        h = np.repeat(np.asarray(emb, np.float32), n_analogs, axis=0)
+        out = self.op_generate(
+            {
+                "embeddings": h.tolist(),
+                "k": body.get("k", 100),
+                "inv_temp": body.get("inv_temp", 2.0),
+                "noise_scale": body.get("noise_scale", 0.3),
+            }
+        )["smiles"]
+        return {
+            "analogs": [
+                out[i * n_analogs : (i + 1) * n_analogs]
+                for i in range(len(smiles))
+            ]
+        }
+
+    # ---------------------------------------------------------- lifecycle
+
+    def warmup(
+        self,
+        max_bucket: int = 256,
+        gen_params: tuple = ((100, 2.0, 0.0),),
+        verbose: bool = True,
+    ) -> None:
+        """Pre-compile the power-of-two bucket ladder for embed and for
+        each (k, inv_temp, noise_scale) generation program.
+
+        The API pads request batches to power-of-two buckets
+        (models/api.py bucket_size) so each bucket is one XLA program;
+        first-touch compiles take tens of seconds on TPU and would stall
+        live traffic. Call once before serving. noise_scale is applied
+        host-side, so one generate program per (bucket, k, inv_temp)
+        covers every noise level."""
+        import time
+
+        smiles = ["CCO"]
+        bucket = 8
+        while bucket <= max_bucket:
+            t0 = time.perf_counter()
+            h = self.frontend.embed(smiles * bucket)
+            for k, inv_temp, noise_scale in gen_params:
+                self.frontend.generate(h, k, inv_temp, noise_scale)
+            if verbose:
+                print(
+                    f"warmup bucket {bucket}: {time.perf_counter() - t0:.1f}s",
+                    flush=True,
+                )
+            bucket *= 2
+
+    def start(self) -> None:
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, fmt, *args):  # quiet
+                pass
+
+            def _send(self, code: int, payload: dict):
+                blob = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(blob)))
+                self.end_headers()
+                self.wfile.write(blob)
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    import jax
+
+                    self._send(
+                        200,
+                        {
+                            "status": "ok",
+                            "model": "coati2" if server.frontend.is_coati2
+                            else "coati",
+                            "embed_dim": server.frontend.embed_dim,
+                            "device": str(jax.devices()[0]),
+                        },
+                    )
+                else:
+                    self._send(404, {"error": "not found"})
+
+            def do_POST(self):
+                ops = {
+                    "/embed": server.op_embed,
+                    "/generate": server.op_generate,
+                    "/analogs": server.op_analogs,
+                }
+                op = ops.get(self.path)
+                if op is None:
+                    self._send(404, {"error": "not found"})
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    body = json.loads(self.rfile.read(n) or b"{}")
+                    self._send(200, op(body))
+                except Exception as ex:  # noqa: BLE001 - client error surface
+                    self._send(400, {"error": f"{type(ex).__name__}: {ex}"})
+
+        class _Server(ThreadingHTTPServer):
+            # socketserver's default accept backlog of 5 drops bursts of
+            # concurrent connections (ConnectionResetError client-side)
+            request_queue_size = 1024
+            daemon_threads = True
+
+        self._httpd = _Server((self.host, self.port), Handler)
+        self.port = self._httpd.server_address[1]
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, name="coati-http", daemon=True
+        )
+        self._thread.start()
+
+    def stop(self) -> None:
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+        self._embed_batcher.close()
+        for b in self._gen_batchers.values():
+            b.close()

@@ -1,0 +1,170 @@
+"""Serving-layer tests: micro-batcher semantics and the HTTP server
+end-to-end over localhost with a tiny model (beyond-parity — the
+reference has no serving layer)."""
+
+import json
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+import jax
+
+from coati_tpu.models.api import COATI
+from coati_tpu.models.coati import CoatiConfig, init_coati
+from coati_tpu.serving.batcher import MicroBatcher
+from coati_tpu.serving.server import CoatiInferenceServer
+from coati_tpu.tokenizers import get_vocab
+from coati_tpu.tokenizers.trie_tokenizer import TrieTokenizer
+
+
+# ----------------------------------------------------------- MicroBatcher
+
+
+def test_batcher_batches_concurrent_submits():
+    seen = []
+
+    def batch_fn(items):
+        seen.append(len(items))
+        time.sleep(0.01)
+        return [x * 2 for x in items]
+
+    b = MicroBatcher(batch_fn, max_batch=64, flush_ms=50)
+    try:
+        futs = [b.submit(i) for i in range(20)]
+        assert [f.result(timeout=5) for f in futs] == [2 * i for i in range(20)]
+        # all 20 coalesced into very few device calls
+        assert sum(seen) == 20 and len(seen) <= 3
+    finally:
+        b.close()
+
+
+def test_batcher_respects_max_batch():
+    seen = []
+
+    def batch_fn(items):
+        seen.append(len(items))
+        return items
+
+    b = MicroBatcher(batch_fn, max_batch=4, flush_ms=100)
+    try:
+        futs = [b.submit(i) for i in range(10)]
+        [f.result(timeout=5) for f in futs]
+        assert max(seen) <= 4
+    finally:
+        b.close()
+
+
+def test_batcher_propagates_errors():
+    def batch_fn(items):
+        raise RuntimeError("boom")
+
+    b = MicroBatcher(batch_fn, max_batch=4, flush_ms=5)
+    try:
+        fut = b.submit(1)
+        with pytest.raises(RuntimeError, match="boom"):
+            fut.result(timeout=5)
+        # the worker survives an error and keeps serving
+        fut2 = b.submit(2)
+        with pytest.raises(RuntimeError, match="boom"):
+            fut2.result(timeout=5)
+    finally:
+        b.close()
+
+
+# ------------------------------------------------------------ HTTP server
+
+
+@pytest.fixture(scope="module")
+def server():
+    tok = TrieTokenizer(n_seq=48, **get_vocab("mar_verysimple"))
+    cfg = CoatiConfig(
+        n_layer_e3gnn=1,
+        n_layer_xformer=2,
+        n_hidden_xformer=32,
+        n_hidden_e3nn=16,
+        n_embd_common=32,
+        n_head=2,
+        n_seq=48,
+        n_tok=tok.n_token,
+        norm_clips=True,
+        token_mlp=True,
+    )
+    model = COATI(init_coati(jax.random.PRNGKey(0), cfg), cfg)
+    srv = CoatiInferenceServer(model, tok, port=0, flush_ms=10)
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+def _post(server, path, body):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}{path}",
+        data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=60) as resp:
+        return json.loads(resp.read())
+
+
+def test_healthz(server):
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{server.port}/healthz", timeout=30
+    ) as resp:
+        body = json.loads(resp.read())
+    assert body["status"] == "ok"
+    assert body["embed_dim"] == 32
+
+
+def test_embed_generate_roundtrip(server):
+    out = _post(server, "/embed", {"smiles": ["CCO", "CC", "CCC"]})
+    h = np.asarray(out["embeddings"], np.float32)
+    assert h.shape == (3, 32) and np.isfinite(h).all()
+
+    gen = _post(server, "/generate", {"embeddings": h.tolist(), "k": 8})
+    assert len(gen["smiles"]) == 3
+    assert all(isinstance(s, str) for s in gen["smiles"])
+
+
+def test_analogs_endpoint(server):
+    out = _post(
+        server, "/analogs",
+        {"smiles": ["CCO"], "n_analogs": 3, "noise_scale": 0.5, "k": 8},
+    )
+    assert len(out["analogs"]) == 1 and len(out["analogs"][0]) == 3
+
+
+def test_concurrent_requests_batch_on_device(server):
+    """16 parallel clients share device programs and all get answers."""
+    results = [None] * 16
+    errors = []
+
+    def client(i):
+        try:
+            out = _post(server, "/embed", {"smiles": ["CCO"]})
+            results[i] = np.asarray(out["embeddings"])
+        except Exception as ex:  # noqa: BLE001
+            errors.append(ex)
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(16)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(60)
+    assert not errors
+    ref = results[0]
+    for r in results[1:]:
+        np.testing.assert_allclose(r, ref, atol=1e-5)
+
+
+def test_generate_rejects_bad_shapes(server):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/generate",
+        data=json.dumps({"embeddings": [[1.0, 2.0]]}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with pytest.raises(urllib.error.HTTPError) as err:
+        urllib.request.urlopen(req, timeout=30)
+    assert err.value.code == 400
