@@ -14,9 +14,11 @@ Everything else goes to stderr.
 
 Env knobs: BENCH_BATCH (default 512), BENCH_SEQ (default 96),
 BENCH_DTYPE (default bfloat16; embeddings keep fp32 parity elsewhere —
-this benchmark measures the production generation path), BENCH_REF_BATCH
-(default 8), BENCH_SKIP_REF=1 to reuse the last recorded baseline rate
-instead of re-measuring torch.
+this benchmark measures the production generation path), BENCH_KV
+(default int8 — quality-validated on a trained model,
+scripts/eval_int8_decode.py: 100% round-trip/token agreement vs fp32),
+BENCH_REF_BATCH (default 8), BENCH_SKIP_REF=1 to reuse the last recorded
+baseline rate instead of re-measuring torch.
 """
 
 from __future__ import annotations
@@ -74,7 +76,7 @@ def build_model(n_seq: int, dtype: str):
         norm_clips=True,
         token_mlp=True,
         dtype=dtype,
-        kv_dtype=os.environ.get("BENCH_KV", "auto"),
+        kv_dtype=os.environ.get("BENCH_KV", "int8"),
     )
     params = init_coati(jax.random.PRNGKey(0), cfg)
     bench_params = params
@@ -194,9 +196,10 @@ def main():
         except OSError:
             pass
 
+    kv = os.environ.get("BENCH_KV", "int8")
     result = {
         "metric": f"embed+decode molecules/sec on {device.device_kind} "
-        f"(grande-scale, seq {n_seq}, batch {batch}, {dtype}; "
+        f"(grande-scale, seq {n_seq}, batch {batch}, {dtype}, {kv} kv-cache; "
         f"baseline: torch-cpu reference impl)",
         "value": round(jax_molps, 2),
         "unit": "mol/s",

@@ -24,10 +24,18 @@ from coati_tpu.tokenizers.trie_tokenizer import TrieTokenizer
 
 
 def _pad_rows(arr: np.ndarray, multiple: int) -> np.ndarray:
-    rem = (-arr.shape[0]) % multiple
-    if rem == 0:
+    """Pad to the power-of-two bucket ladder (bounds XLA recompiles under
+    varying request sizes, models/api.py bucket_size), rounded up to a
+    full multiple of the mesh size so every shard is non-empty."""
+    from coati_tpu.models.api import bucket_size
+
+    target = bucket_size(arr.shape[0], minimum=max(8, multiple))
+    target += (-target) % multiple
+    if target == arr.shape[0]:
         return arr
-    return np.concatenate([arr, np.repeat(arr[:1], rem, axis=0)], axis=0)
+    return np.concatenate(
+        [arr, np.repeat(arr[:1], target - arr.shape[0], axis=0)], axis=0
+    )
 
 
 class ShardedCOATI:
@@ -41,6 +49,7 @@ class ShardedCOATI:
         replicated = NamedSharding(mesh, P())
         self.params = jax.device_put(model.params, replicated)
         self.config = model.config
+        self.embed_dim = model.embed_dim
         self._batch_sharding = NamedSharding(mesh, P(axis))
         self._rng = jax.random.PRNGKey(0)
 

@@ -89,7 +89,15 @@ class CoatiInferenceServer:
         port: int = 0,
         max_batch: int = 256,
         flush_ms: float = 20.0,
+        mesh=None,
     ):
+        """mesh: optional jax.sharding.Mesh — wraps the model in
+        ShardedCOATI (parallel/inference.py) so request batches split
+        over the `data` axis (multi-chip serving)."""
+        if mesh is not None and mesh.devices.size > 1:
+            from coati_tpu.parallel.inference import ShardedCOATI
+
+            model = ShardedCOATI(model, mesh)
         self.frontend = _ModelFrontend(model, tokenizer)
         self.host = host
         self.port = port

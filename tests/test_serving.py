@@ -168,3 +168,33 @@ def test_generate_rejects_bad_shapes(server):
     with pytest.raises(urllib.error.HTTPError) as err:
         urllib.request.urlopen(req, timeout=30)
     assert err.value.code == 400
+
+
+def test_server_over_device_mesh():
+    """Serving over an 8-device mesh (ShardedCOATI): requests split over
+    the data axis and results match the single-device server."""
+    from coati_tpu.parallel.mesh import make_mesh
+
+    tok = TrieTokenizer(n_seq=48, **get_vocab("mar_verysimple"))
+    cfg = CoatiConfig(
+        n_layer_e3gnn=1, n_layer_xformer=2, n_hidden_xformer=32,
+        n_hidden_e3nn=16, n_embd_common=32, n_head=2, n_seq=48,
+        n_tok=tok.n_token, norm_clips=True, token_mlp=True,
+    )
+    model = COATI(init_coati(jax.random.PRNGKey(0), cfg), cfg)
+    srv = CoatiInferenceServer(model, tok, port=0, flush_ms=10,
+                               mesh=make_mesh(8))
+    srv.start()
+    try:
+        out = _post(srv, "/embed", {"smiles": ["CCO", "CC", "CCC"]})
+        h = np.asarray(out["embeddings"], np.float32)
+        assert h.shape == (3, 32) and np.isfinite(h).all()
+        # matches unsharded embedding
+        ref = np.asarray(model.encode_tokens(
+            np.asarray([tok.tokenize_text("[SMILES]" + s + "[STOP]", pad=True)
+                        for s in ["CCO", "CC", "CCC"]], np.int32), tok))
+        np.testing.assert_allclose(h, ref, atol=2e-5)
+        gen = _post(srv, "/generate", {"embeddings": h.tolist(), "k": 8})
+        assert len(gen["smiles"]) == 3
+    finally:
+        srv.stop()
