@@ -143,3 +143,31 @@ class VocabMatcher:
         if span_start < n:
             out.append(text[span_start:])
         return out
+
+
+class Trie(VocabMatcher):
+    """Drop-in shim for the reference Trie class
+    (coati/models/encoding/tokenizers/trie.py:5 — add :14, split :39,
+    cut_text :192) so reference-facing user code ports unchanged. The
+    matching itself delegates to VocabMatcher's leftmost-longest scan
+    (which fixes the HF-trie lookahead bug; see module docstring)."""
+
+    def split(self, text: str) -> List[str]:
+        return super().split(text)
+
+    def cut_text(self, text: str, offsets: List[int]) -> List[str]:
+        """Split `text` at the given offsets, dropping zero-width cuts
+        (trie.py:192-214)."""
+        offsets = list(offsets) + [len(text)]
+        tokens: List[str] = []
+        start = 0
+        for end in offsets:
+            if start > end:
+                raise RuntimeError(
+                    "cut_text offsets must be non-decreasing"
+                )
+            if start == end:
+                continue
+            tokens.append(text[start:end])
+            start = end
+        return tokens

@@ -168,3 +168,57 @@ def test_commit_opt_state_placements(tok):
     assert all(len(x.sharding.device_set) == 8 for x in flat_c)
     for c, t in zip(flat_c, flat_t):
         np.testing.assert_array_equal(np.asarray(c), np.asarray(t))
+
+
+def test_coati2_tp_step_matches_single_device():
+    """The COATI2 directCLR+AR step under (data=4, model=2) TP equals the
+    single-device step."""
+    from coati_tpu.models.coati2 import Coati2Config, init_coati2
+    from coati_tpu.training.train_coati2 import make_coati2_train_step
+
+    tok2 = TrieTokenizer(n_seq=32, **get_vocab("mar_verysimple"))
+    cfg = Coati2Config(
+        n_layer_xformer=2, n_hidden_xformer=32, embed_dim=32, n_head=2,
+        n_seq=32, enc_to_coati="swiglu_resnet", n_direct_clr=8,
+        n_tok=tok2.n_token,
+    )
+    params0 = jax.device_get(init_coati2(jax.random.PRNGKey(0), cfg))
+    rng = np.random.default_rng(0)
+
+    def rows(w=16, n=16):
+        t = rng.integers(len(tok2.special_tokens), tok2.n_token, size=(n, w))
+        t = t.astype(np.int32)
+        t[:, 0] = tok2.smiles_token
+        t[:, -2] = tok2.stop_token
+        t[:, -1] = tok2.pad_token
+        return t
+
+    tokens = rows()
+    y_next = np.zeros_like(tokens)
+    y_next[:, :-1] = tokens[:, 1:]
+    y_next[y_next == tok2.pad_token] = -1
+    batch = {
+        "tokens": tokens, "raw_tokens": rows(), "rand_tokens": rows(),
+        "y_next": y_next,
+    }
+    optimizer = make_optimizer(TrainConfig(lr=1e-3))
+    key = jax.random.PRNGKey(3)
+
+    def run(mesh, place):
+        step = make_coati2_train_step(
+            mesh, cfg, optimizer,
+            stop_token=tok2.stop_token,
+            unk_token=tok2.unk_token,
+            token_entropy_unit=float(np.log2(tok2.n_token)),
+            mode="pjit",
+        )
+        p = place(mesh, params0)
+        opt = optimizer.init(p)
+        p, opt, metrics = step(p, opt, key, shard_batch(mesh, batch))
+        return jax.device_get(p), float(metrics["loss"])
+
+    from coati_tpu.parallel.mesh import replicate_params
+
+    _, loss_ref = run(make_mesh(1), replicate_params)
+    _, loss_tp = run(make_tp_mesh(8, model_parallel=2), shard_params)
+    assert loss_tp == pytest.approx(loss_ref, rel=2e-5)

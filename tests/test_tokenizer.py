@@ -205,3 +205,22 @@ def test_matcher_survives_pickle():
     before = m.split("ab[CLS]bx")
     m2 = pickle.loads(pickle.dumps(m))
     assert m2.split("ab[CLS]bx") == before
+
+
+def test_trie_shim_matches_reference_cut_text():
+    """The Trie compatibility shim (matcher.py) agrees with the reference
+    Trie on cut_text and on real-vocab splits (trie.py:39,192)."""
+    from coati_tpu.tokenizers.matcher import Trie
+
+    ref_mod = load("ref_trie")
+    tokens = ["[CLIP]", "[STOP]", "CC", "C", "Br", "c1ccccc1"]
+    ours = Trie(tokens)
+    ref = ref_mod.Trie()
+    for t in tokens:
+        ref.add(t)
+    for text in ("abcdef", "x[CLIP]CCBr", ""):
+        for offsets in ([], [2, 4], [0, len(text)]):
+            offs = [o for o in offsets if o <= len(text)]
+            assert ours.cut_text(text, list(offs)) == ref.cut_text(text, list(offs))
+    for text in ("[CLIP]CCC[STOP]", "c1ccccc1Br", "CCBrCC"):
+        assert ours.split(text) == ref.split(text)
