@@ -95,9 +95,11 @@ def bench_jax(model, tok, batch: int, n_seq: int):
     )
 
     def run():
-        h = model.encode_tokens(tokens, tok)
-        out = model.hclip_to_2d_batch(np.asarray(h), tok, inv_temp=2.0, k=100)
-        return out
+        # fused embed+decode: one device program for the round trip
+        smiles, h = model.smiles_to_2d_batch(
+            tokens, tok, inv_temp=2.0, k=100, return_embeddings=True
+        )
+        return smiles
 
     log("jax warmup (compile + runtime steady-state)...")
     for _ in range(3):

@@ -65,6 +65,42 @@ def _clip_to_token_jit(params, cfg, h):
     return F.clip_to_special_token(params, h)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "stop_token", "unk_token", "pad_token", "prefill_len",
+        "total_len", "k", "stage_widths",
+    ),
+)
+def _embed_decode_jit(
+    params, cfg, smiles_tokens, tokens0, noise, rng, inv_temp,
+    *, stop_token, unk_token, pad_token, prefill_len, total_len, k,
+    stage_widths,
+):
+    """Fused embed -> inject -> decode: encode, clip-token MLP and the
+    full sampling loop in ONE compiled program (no host hops between)."""
+    h = F.encode_tokens(params, cfg, smiles_tokens, stop_token)
+    h_token = F.clip_to_special_token(params, h + noise.astype(h.dtype))
+    b = smiles_tokens.shape[0]
+    out = generate_tokens(
+        params.xformer,
+        cfg.xformer_config,
+        rng,
+        tokens0,
+        jnp.full((b,), prefill_len, jnp.int32),
+        prefill_len=prefill_len,
+        total_len=total_len,
+        stop_token=stop_token,
+        pad_token=pad_token,
+        k=k,
+        inv_temp=inv_temp,
+        inj_payload=h_token,
+        inject_token=unk_token,
+        stage_widths=stage_widths,
+    )
+    return h, out
+
+
 class COATI:
     """Composite CLIP model wrapper: params + config + jitted entry points."""
 
@@ -188,6 +224,59 @@ class COATI:
         return self.hclip_to_2d_batch(
             h, tokenizer, fill_in_from, noise_scale, inv_temp, k, do_suffix
         )[0]
+
+    def smiles_to_2d_batch(
+        self,
+        token_indices,
+        tokenizer: TrieTokenizer,
+        fill_in_from: str = "[SMILES]",
+        noise_scale: float = 0.0,
+        inv_temp: float = 2.0,
+        k: int = 100,
+        keep_special: bool = False,
+        return_embeddings: bool = False,
+        total_len: Optional[int] = None,
+    ):
+        """Fused embed -> decode round trip (the bench.py north-star
+        workload): tokenized SMILES in, re-generated SMILES (and
+        optionally the hclip embeddings) out, as ONE device program.
+        Functionally encode_tokens + hclip_to_2d_batch, minus two
+        device dispatches and the embedding host round-trip per batch
+        (~29 ms each on the tunneled dev TPU)."""
+        tokens = np.asarray(token_indices, np.int32)
+        b0 = tokens.shape[0]
+        tgt = bucket_size(b0)
+        tokens = _pad_batch(tokens, tgt)
+        prefix = tokenizer.tokenize_text("[CLIP][UNK]" + fill_in_from, pad=False)
+        total_len = total_len or self.config.n_seq
+        tokens0 = np.zeros((tgt, total_len), np.int32)
+        tokens0[:, : len(prefix)] = prefix
+        noise = np.zeros((tgt, self.embed_dim), np.float32)
+        if noise_scale > 0:
+            noise = self._noise.normal(
+                scale=noise_scale, size=noise.shape
+            ).astype(np.float32)
+        h, out = _embed_decode_jit(
+            self.params,
+            self.config,
+            jnp.asarray(tokens),
+            jnp.asarray(tokens0),
+            jnp.asarray(noise),
+            self._next_rng(),
+            inv_temp,
+            stop_token=tokenizer.stop_token,
+            unk_token=tokenizer.unk_token,
+            pad_token=tokenizer.pad_token,
+            prefill_len=len(prefix),
+            total_len=total_len,
+            k=k,
+            stage_widths=auto_stage_widths(len(prefix), total_len),
+        )
+        out = np.asarray(out)[:b0]
+        smiles = [tokenizer.decode(list(r), special=keep_special) for r in out]
+        if return_embeddings:
+            return smiles, np.asarray(h)[:b0]
+        return smiles
 
     def points_to_2d_batch(
         self,

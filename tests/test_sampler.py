@@ -328,3 +328,37 @@ def test_staged_decode_matches_single_stage_exact():
     assert auto_stage_widths(3, 32) is None
     ws = auto_stage_widths(3, 96)
     assert ws[-1] == 96 and all(ws[i] < ws[i + 1] for i in range(len(ws) - 1))
+
+
+def test_fused_embed_decode_matches_two_call_path():
+    """smiles_to_2d_batch (ONE device program) reproduces
+    encode_tokens + hclip_to_2d_batch token-for-token with the same rng
+    seed (fp32, no noise)."""
+    import jax
+
+    from coati_tpu.models.api import COATI
+    from coati_tpu.models.coati import CoatiConfig, init_coati
+    from coati_tpu.tokenizers import get_vocab
+    from coati_tpu.tokenizers.trie_tokenizer import TrieTokenizer
+
+    tok = TrieTokenizer(n_seq=48, **get_vocab("mar_verysimple"))
+    cfg = CoatiConfig(
+        n_layer_e3gnn=1, n_layer_xformer=2, n_hidden_xformer=32,
+        n_hidden_e3nn=16, n_embd_common=32, n_head=2, n_seq=48,
+        n_tok=tok.n_token, norm_clips=True, token_mlp=True,
+    )
+    params = init_coati(jax.random.PRNGKey(0), cfg)
+    tokens = np.asarray(
+        [tok.tokenize_text("[SMILES]" + s + "[STOP]", pad=True)
+         for s in ["CCO", "CC", "CCC", "CNC"]], np.int32)
+
+    m1 = COATI(params, cfg, seed=5)
+    fused_smiles, fused_h = m1.smiles_to_2d_batch(
+        tokens, tok, inv_temp=2.0, k=8, return_embeddings=True)
+
+    m2 = COATI(params, cfg, seed=5)
+    h = np.asarray(m2.encode_tokens(tokens, tok))
+    two_call = m2.hclip_to_2d_batch(h, tok, inv_temp=2.0, k=8)
+
+    np.testing.assert_allclose(fused_h, h, atol=1e-5)
+    assert fused_smiles == two_call
