@@ -13,6 +13,7 @@ controlled generation.
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import numpy as np
 
@@ -228,6 +229,48 @@ def _coati_to_token_jit(params: Coati2Params, cfg: Coati2Config, h):
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "stop_token", "unk_token", "pad_token", "prefill_len",
+        "total_len", "k", "stage_widths",
+    ),
+)
+def _embed_decode_jit(
+    params, cfg, smiles_tokens, tokens0, noise, rng, inv_temp,
+    *, stop_token, unk_token, pad_token, prefill_len, total_len, k,
+    stage_widths,
+):
+    """Fused embed -> inject -> decode, one compiled program (COATI2
+    mirror of models/api.py _embed_decode_jit)."""
+    xcfg = cfg.xformer_config
+    hidden = forward_hidden(params.xformer, xcfg, smiles_tokens)
+    h = smiles_to_coati(
+        params, cfg, stop_token_hidden(hidden, smiles_tokens, stop_token)
+    )
+    h_token = apply_swiglu_resnet(
+        params.coati_to_token, h + noise.astype(h.dtype), xcfg.mm_precision
+    )
+    b = smiles_tokens.shape[0]
+    out = generate_tokens(
+        params.xformer,
+        xcfg,
+        rng,
+        tokens0,
+        jnp.full((b,), prefill_len, jnp.int32),
+        prefill_len=prefill_len,
+        total_len=total_len,
+        stop_token=stop_token,
+        pad_token=pad_token,
+        k=k,
+        inv_temp=inv_temp,
+        inj_payload=h_token,
+        inject_token=unk_token,
+        stage_widths=stage_widths,
+    )
+    return h, out
+
+
 class COATI2:
     """COATI_Smiles_Inference equivalent: invertible 2D-only embedding
     with SwiGLU heads and property-token conditioning."""
@@ -309,6 +352,59 @@ class COATI2:
         smiles = [tokenizer.decode(list(r), special=keep_special) for r in out]
         if return_tokens:
             return smiles, [list(map(int, r)) for r in out]
+        return smiles
+
+    def smiles_to_2d_batch(
+        self,
+        token_indices,
+        tokenizer: TrieTokenizer,
+        fill_in_from: str = "[SMILES]",
+        noise_scale: float = 0.0,
+        inv_temp: float = 2.0,
+        k: int = 100,
+        keep_special: bool = False,
+        return_embeddings: bool = False,
+        total_len: Optional[int] = None,
+    ):
+        """Fused embed -> decode round trip as ONE device program
+        (COATI2 mirror of COATI.smiles_to_2d_batch; property-conditioned
+        prefixes go through `fill_in_from`, e.g.
+        '[PROPS][PercentQED][NUM80][ENDPROPS][SMILES]')."""
+        from coati_tpu.models.api import _pad_batch, bucket_size
+
+        tokens = np.asarray(token_indices, np.int32)
+        b0 = tokens.shape[0]
+        tgt = bucket_size(b0)
+        tokens = _pad_batch(tokens, tgt)
+        prefix = tokenizer.tokenize_text("[CLIP][UNK]" + fill_in_from, pad=False)
+        total_len = total_len or self.config.n_seq
+        tokens0 = np.zeros((tgt, total_len), np.int32)
+        tokens0[:, : len(prefix)] = prefix
+        noise = np.zeros((tgt, self.embed_dim), np.float32)
+        if noise_scale > 0:
+            noise = self._noise.normal(
+                scale=noise_scale, size=noise.shape
+            ).astype(np.float32)
+        h, out = _embed_decode_jit(
+            self.params,
+            self.config,
+            jnp.asarray(tokens),
+            jnp.asarray(tokens0),
+            jnp.asarray(noise),
+            self._next_rng(),
+            inv_temp,
+            stop_token=tokenizer.stop_token,
+            unk_token=tokenizer.unk_token,
+            pad_token=tokenizer.pad_token,
+            prefill_len=len(prefix),
+            total_len=total_len,
+            k=k,
+            stage_widths=auto_stage_widths(len(prefix), total_len),
+        )
+        out = np.asarray(out)[:b0]
+        smiles = [tokenizer.decode(list(r), special=keep_special) for r in out]
+        if return_embeddings:
+            return smiles, np.asarray(h)[:b0]
         return smiles
 
     def hcoati_to_2d(

@@ -209,3 +209,35 @@ def test_load_coati2_document(tmp_path):
     with torch.no_grad():
         ref_h = ref.encode_tokens(torch.tensor(tokens, dtype=torch.long), RT()).numpy()
     np.testing.assert_allclose(mine, ref_h, atol=3e-5, rtol=1e-4)
+
+
+def test_coati2_fused_embed_decode_matches_two_call():
+    """COATI2.smiles_to_2d_batch (one device program) reproduces
+    smiles_to_coati_vec + hcoati_to_2d_batch with the same rng seed."""
+    import jax
+
+    from coati_tpu.models.coati2 import COATI2, Coati2Config, init_coati2
+    from coati_tpu.tokenizers import get_vocab
+    from coati_tpu.tokenizers.trie_tokenizer import TrieTokenizer
+
+    tok = TrieTokenizer(n_seq=48, **get_vocab("coati2_12_12"))
+    cfg = Coati2Config(
+        n_layer_xformer=2, n_hidden_xformer=32, embed_dim=32, n_head=2,
+        n_seq=48, enc_to_coati="swiglu_resnet", n_tok=tok.n_token,
+    )
+    params = init_coati2(jax.random.PRNGKey(0), cfg)
+    smiles = ["CCO", "CC", "CNC", "COC"]
+    tokens = np.asarray(
+        [tok.tokenize_text("[SMILES]" + s + "[STOP]", pad=True) for s in smiles],
+        np.int32)
+
+    m1 = COATI2(params, cfg, seed=9)
+    fused, fused_h = m1.smiles_to_2d_batch(
+        tokens, tok, inv_temp=2.0, k=8, return_embeddings=True)
+
+    m2 = COATI2(params, cfg, seed=9)
+    h = m2.smiles_to_coati_vec(smiles, tok)
+    two_call = m2.hcoati_to_2d_batch(h, tok, inv_temp=2.0, k=8)
+
+    np.testing.assert_allclose(fused_h, h, atol=1e-5)
+    assert fused == two_call
