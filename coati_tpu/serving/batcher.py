@@ -53,6 +53,15 @@ class MicroBatcher:
         self._closed = True
         self._queue.put(None)  # wake the worker
         self._worker.join(timeout)
+        # fail anything that raced past the closed check so no caller
+        # blocks forever on an orphaned Future
+        while True:
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None and not item[1].done():
+                item[1].set_exception(RuntimeError("batcher is closed"))
 
     # ------------------------------------------------------------ worker
 

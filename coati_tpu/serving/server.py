@@ -46,16 +46,20 @@ class _ModelFrontend:
         self.is_coati2 = hasattr(model, "hcoati_to_2d_batch")
         self.embed_dim = model.embed_dim
 
-    def embed(self, smiles_list):
-        tok = self.tokenizer
-        tokens = np.asarray(
-            [
-                tok.tokenize_text("[SMILES]" + s + "[STOP]", pad=True)
-                for s in smiles_list
-            ],
+    def tokenize(self, smiles: str) -> np.ndarray:
+        """Host-side tokenization, done PER REQUEST (not in the batch
+        worker) so a malformed/oversized SMILES 400s its own request
+        instead of poisoning co-batched ones."""
+        return np.asarray(
+            self.tokenizer.tokenize_text("[SMILES]" + smiles + "[STOP]", pad=True),
             np.int32,
         )
-        return np.asarray(self.model.encode_tokens(tokens, tok), np.float32)
+
+    def embed_rows(self, token_rows):
+        tokens = np.stack(token_rows)
+        return np.asarray(
+            self.model.encode_tokens(tokens, self.tokenizer), np.float32
+        )
 
     def generate(self, h, k, inv_temp, noise_scale):
         h = np.asarray(h, np.float32)
@@ -102,7 +106,7 @@ class CoatiInferenceServer:
         self.host = host
         self.port = port
         self._embed_batcher = MicroBatcher(
-            self.frontend.embed, max_batch=max_batch, flush_ms=flush_ms,
+            self.frontend.embed_rows, max_batch=max_batch, flush_ms=flush_ms,
             name="embed-batcher",
         )
         # one batcher per generation-parameter tuple (traced constants)
@@ -132,8 +136,8 @@ class CoatiInferenceServer:
     # ------------------------------------------------------- request ops
 
     def op_embed(self, body: dict) -> dict:
-        smiles = body["smiles"]
-        futs = [self._embed_batcher.submit(s) for s in smiles]
+        rows = [self.frontend.tokenize(s) for s in body["smiles"]]  # may 400
+        futs = [self._embed_batcher.submit(r) for r in rows]
         return {"embeddings": [f.result().tolist() for f in futs]}
 
     def op_generate(self, body: dict) -> dict:
@@ -171,6 +175,10 @@ class CoatiInferenceServer:
 
     # ---------------------------------------------------------- lifecycle
 
+    def _warm_embed(self, n: int):
+        rows = [self.frontend.tokenize("CCO")] * n
+        return self.frontend.embed_rows(rows)
+
     def warmup(
         self,
         max_bucket: int = 256,
@@ -188,11 +196,10 @@ class CoatiInferenceServer:
         covers every noise level."""
         import time
 
-        smiles = ["CCO"]
         bucket = 8
         while bucket <= max_bucket:
             t0 = time.perf_counter()
-            h = self.frontend.embed(smiles * bucket)
+            h = self._warm_embed(bucket)
             for k, inv_temp, noise_scale in gen_params:
                 self.frontend.generate(h, k, inv_temp, noise_scale)
             if verbose:

@@ -198,3 +198,34 @@ def test_server_over_device_mesh():
         assert len(gen["smiles"]) == 3
     finally:
         srv.stop()
+
+
+def test_bad_smiles_does_not_poison_cobatched_requests(server):
+    """A tokenization failure 400s only its own request while concurrent
+    valid requests still succeed."""
+    results, errors = [], []
+
+    def good():
+        try:
+            results.append(_post(server, "/embed", {"smiles": ["CCO"]}))
+        except Exception as ex:  # noqa: BLE001
+            errors.append(("good", ex))
+
+    def bad():
+        try:
+            _post(server, "/embed", {"smiles": ["C" * 5000]})  # oversized
+            errors.append(("bad", "should have failed"))
+        except urllib.error.HTTPError as ex:
+            assert ex.code == 400
+        except Exception as ex:  # noqa: BLE001
+            errors.append(("bad", ex))
+
+    threads = [threading.Thread(target=good) for _ in range(4)] + [
+        threading.Thread(target=bad) for _ in range(2)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(60)
+    assert not errors
+    assert len(results) == 4
