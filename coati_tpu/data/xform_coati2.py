@@ -21,7 +21,7 @@ from what the published artifacts pin down:
 
 Value bucketing (OUR recipe — documented here because generation-time
 conditioning must use the same buckets, see `property_tokens`):
-  [IntExactMolWt]  [NUM min(int(mw) // 5, 169)]      (5-Da buckets)
+  [IntExactMolWt]  [NUM clamp(round(mw / 5), 0, 169)]     (5-Da buckets)
   [IntMolLogP]     [NUM clamp(round(logp) + 10, 0, 169)]  (+10 offset)
   [PercentQED]     [NUM round(qed * 100)]
   [PercentCSP3]    [NUM round(fcsp3 * 100)]
@@ -250,7 +250,10 @@ def coati2_ar_xform(
         width = max(width, 1)
         if pad_width_to:
             width = ((width + pad_width_to - 1) // pad_width_to) * pad_width_to
-        out = np.zeros((len(rows), width), np.int32)
+        # pad with the REAL pad id: coati2_12_12's [PAD] is 31, not 0
+        # (id 0 is [CHARGE]) — zero-filling would both feed [CHARGE]
+        # tokens to the model and leave them unmasked in the loss
+        out = np.full((len(rows), width), tokenizer.pad_token, np.int32)
         for i, r in enumerate(rows):
             out[i, : len(r)] = r
         return out
@@ -265,7 +268,7 @@ def coati2_ar_xform(
     batch["raw_tokens"] = _stack(raw_rows, view_width)
     batch["rand_tokens"] = _stack(rand_rows, view_width)
 
-    y_next = np.zeros_like(batch["tokens"])
+    y_next = np.full_like(batch["tokens"], tokenizer.pad_token)
     y_next[:, :-1] = batch["tokens"][:, 1:]
     for t in (
         tokenizer.clip_token,

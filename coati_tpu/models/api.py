@@ -101,6 +101,64 @@ def _embed_decode_jit(
     return h, out
 
 
+def fused_round_trip(
+    embed_decode_jit,
+    params,
+    config,
+    embed_dim: int,
+    tokenizer: TrieTokenizer,
+    token_indices,
+    *,
+    fill_in_from: str,
+    noise_scale: float,
+    inv_temp: float,
+    k: int,
+    keep_special: bool,
+    return_embeddings: bool,
+    total_len: Optional[int],
+    noise_rng,
+    rng,
+):
+    """Shared host-side scaffold for the one-program embed -> decode
+    round trip (COATI and COATI2 share everything except the jitted
+    embed-decode function): bucket-pad the tokens, build the injection
+    prefix, draw host-side noise, dispatch, un-pad and decode."""
+    tokens = np.asarray(token_indices, np.int32)
+    b0 = tokens.shape[0]
+    tgt = bucket_size(b0)
+    tokens = _pad_batch(tokens, tgt)
+    prefix = tokenizer.tokenize_text("[CLIP][UNK]" + fill_in_from, pad=False)
+    total_len = total_len or config.n_seq
+    tokens0 = np.zeros((tgt, total_len), np.int32)
+    tokens0[:, : len(prefix)] = prefix
+    noise = np.zeros((tgt, embed_dim), np.float32)
+    if noise_scale > 0:
+        noise = noise_rng.normal(scale=noise_scale, size=noise.shape).astype(
+            np.float32
+        )
+    h, out = embed_decode_jit(
+        params,
+        config,
+        jnp.asarray(tokens),
+        jnp.asarray(tokens0),
+        jnp.asarray(noise),
+        rng,
+        inv_temp,
+        stop_token=tokenizer.stop_token,
+        unk_token=tokenizer.unk_token,
+        pad_token=tokenizer.pad_token,
+        prefill_len=len(prefix),
+        total_len=total_len,
+        k=k,
+        stage_widths=auto_stage_widths(len(prefix), total_len),
+    )
+    out = np.asarray(out)[:b0]
+    smiles = [tokenizer.decode(list(r), special=keep_special) for r in out]
+    if return_embeddings:
+        return smiles, np.asarray(h)[:b0]
+    return smiles
+
+
 class COATI:
     """Composite CLIP model wrapper: params + config + jitted entry points."""
 
@@ -243,40 +301,14 @@ class COATI:
         Functionally encode_tokens + hclip_to_2d_batch, minus two
         device dispatches and the embedding host round-trip per batch
         (~29 ms each on the tunneled dev TPU)."""
-        tokens = np.asarray(token_indices, np.int32)
-        b0 = tokens.shape[0]
-        tgt = bucket_size(b0)
-        tokens = _pad_batch(tokens, tgt)
-        prefix = tokenizer.tokenize_text("[CLIP][UNK]" + fill_in_from, pad=False)
-        total_len = total_len or self.config.n_seq
-        tokens0 = np.zeros((tgt, total_len), np.int32)
-        tokens0[:, : len(prefix)] = prefix
-        noise = np.zeros((tgt, self.embed_dim), np.float32)
-        if noise_scale > 0:
-            noise = self._noise.normal(
-                scale=noise_scale, size=noise.shape
-            ).astype(np.float32)
-        h, out = _embed_decode_jit(
-            self.params,
-            self.config,
-            jnp.asarray(tokens),
-            jnp.asarray(tokens0),
-            jnp.asarray(noise),
-            self._next_rng(),
-            inv_temp,
-            stop_token=tokenizer.stop_token,
-            unk_token=tokenizer.unk_token,
-            pad_token=tokenizer.pad_token,
-            prefill_len=len(prefix),
-            total_len=total_len,
-            k=k,
-            stage_widths=auto_stage_widths(len(prefix), total_len),
+        return fused_round_trip(
+            _embed_decode_jit, self.params, self.config, self.embed_dim,
+            tokenizer, token_indices,
+            fill_in_from=fill_in_from, noise_scale=noise_scale,
+            inv_temp=inv_temp, k=k, keep_special=keep_special,
+            return_embeddings=return_embeddings, total_len=total_len,
+            noise_rng=self._noise, rng=self._next_rng(),
         )
-        out = np.asarray(out)[:b0]
-        smiles = [tokenizer.decode(list(r), special=keep_special) for r in out]
-        if return_embeddings:
-            return smiles, np.asarray(h)[:b0]
-        return smiles
 
     def points_to_2d_batch(
         self,

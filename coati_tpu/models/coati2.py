@@ -186,6 +186,7 @@ def coati2_training_forward(
     rand_tokens: jnp.ndarray,
     stop_token: int,
     unk_token: int,
+    pad_token: int = 0,
 ):
     """Training forward for the COATI2 recipe (BEYOND-PARITY — the
     reference ships COATI2 inference only).
@@ -211,7 +212,9 @@ def coati2_training_forward(
     h1, h2 = jnp.split(h12, 2, axis=0)
     h_token = apply_swiglu_resnet(params.coati_to_token, h1, prec)
     logits = forward_logits(params.xformer, xcfg, tokens, h_token, unk_token)
-    bad_rows = jnp.sum(tokens, axis=-1) < 1
+    # failed xform rows arrive as all-pad (coati2_12_12's [PAD] is 31,
+    # so a zero-sum test would never fire)
+    bad_rows = jnp.all(tokens == pad_token, axis=-1)
     return h1, h2, logits, bad_rows
 
 
@@ -287,11 +290,16 @@ class COATI2:
         return out
 
     def encode_tokens(self, token_indices, tokenizer: TrieTokenizer) -> jnp.ndarray:
+        from coati_tpu.models.api import _pad_batch, bucket_size
+
         tokens = np.asarray(token_indices, np.int32)
         assert tokens.ndim == 2
-        return _encode_tokens_jit(
-            self.params, self.config, jnp.asarray(tokens), tokenizer.stop_token
+        b = tokens.shape[0]
+        padded = _pad_batch(tokens, bucket_size(b))  # bound jit recompiles
+        out = _encode_tokens_jit(
+            self.params, self.config, jnp.asarray(padded), tokenizer.stop_token
         )
+        return out[:b]
 
     def smiles_to_coati_vec(self, smiles, tokenizer: TrieTokenizer) -> np.ndarray:
         """Convenience: list of SMILES -> (B, embed_dim)."""
@@ -370,42 +378,16 @@ class COATI2:
         (COATI2 mirror of COATI.smiles_to_2d_batch; property-conditioned
         prefixes go through `fill_in_from`, e.g.
         '[PROPS][PercentQED][NUM80][ENDPROPS][SMILES]')."""
-        from coati_tpu.models.api import _pad_batch, bucket_size
+        from coati_tpu.models.api import fused_round_trip
 
-        tokens = np.asarray(token_indices, np.int32)
-        b0 = tokens.shape[0]
-        tgt = bucket_size(b0)
-        tokens = _pad_batch(tokens, tgt)
-        prefix = tokenizer.tokenize_text("[CLIP][UNK]" + fill_in_from, pad=False)
-        total_len = total_len or self.config.n_seq
-        tokens0 = np.zeros((tgt, total_len), np.int32)
-        tokens0[:, : len(prefix)] = prefix
-        noise = np.zeros((tgt, self.embed_dim), np.float32)
-        if noise_scale > 0:
-            noise = self._noise.normal(
-                scale=noise_scale, size=noise.shape
-            ).astype(np.float32)
-        h, out = _embed_decode_jit(
-            self.params,
-            self.config,
-            jnp.asarray(tokens),
-            jnp.asarray(tokens0),
-            jnp.asarray(noise),
-            self._next_rng(),
-            inv_temp,
-            stop_token=tokenizer.stop_token,
-            unk_token=tokenizer.unk_token,
-            pad_token=tokenizer.pad_token,
-            prefill_len=len(prefix),
-            total_len=total_len,
-            k=k,
-            stage_widths=auto_stage_widths(len(prefix), total_len),
+        return fused_round_trip(
+            _embed_decode_jit, self.params, self.config, self.embed_dim,
+            tokenizer, token_indices,
+            fill_in_from=fill_in_from, noise_scale=noise_scale,
+            inv_temp=inv_temp, k=k, keep_special=keep_special,
+            return_embeddings=return_embeddings, total_len=total_len,
+            noise_rng=self._noise, rng=self._next_rng(),
         )
-        out = np.asarray(out)[:b0]
-        smiles = [tokenizer.decode(list(r), special=keep_special) for r in out]
-        if return_embeddings:
-            return smiles, np.asarray(h)[:b0]
-        return smiles
 
     def hcoati_to_2d(
         self,

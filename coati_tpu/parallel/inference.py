@@ -52,6 +52,7 @@ class ShardedCOATI:
         self.embed_dim = model.embed_dim
         self._batch_sharding = NamedSharding(mesh, P(axis))
         self._rng = jax.random.PRNGKey(0)
+        self._noise = np.random.default_rng(0)
 
     def _shard(self, arr: np.ndarray):
         return jax.device_put(jnp.asarray(arr), self._batch_sharding)
@@ -90,9 +91,11 @@ class ShardedCOATI:
         h = np.asarray(h_clip, np.float32)
         b = h.shape[0]
         if noise_scale > 0:
-            h = h + np.random.default_rng(0).normal(
-                scale=noise_scale, size=h.shape
-            ).astype(np.float32)
+            # instance rng advances per call (a fixed reseed would make
+            # every call return the identical "noisy" analog set)
+            h = h + self._noise.normal(scale=noise_scale, size=h.shape).astype(
+                np.float32
+            )
         h = _pad_rows(h, self.n_devices)
         h_token = jax.jit(F.clip_to_special_token)(self.params, self._shard(h))
         suffstr = "[SUFFIX][MIDDLE]" if do_suffix else ""

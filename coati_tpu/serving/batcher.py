@@ -33,16 +33,21 @@ class MicroBatcher:
         self._flush_s = flush_ms / 1000.0
         self._queue: queue.Queue = queue.Queue()
         self._closed = False
+        self._submit_lock = threading.Lock()
         self._worker = threading.Thread(
             target=self._run, name=name, daemon=True
         )
         self._worker.start()
 
     def submit(self, item) -> Future:
-        if self._closed:
-            raise RuntimeError("batcher is closed")
         fut: Future = Future()
-        self._queue.put((item, fut))
+        # lock closes the check-then-put race with close(): once a
+        # submit passes the check its item is enqueued BEFORE close()
+        # can flip the flag, so the worker (or close's drain) sees it
+        with self._submit_lock:
+            if self._closed:
+                raise RuntimeError("batcher is closed")
+            self._queue.put((item, fut))
         return fut
 
     def __call__(self, item):
@@ -50,7 +55,8 @@ class MicroBatcher:
         return self.submit(item).result()
 
     def close(self, timeout: float = 5.0) -> None:
-        self._closed = True
+        with self._submit_lock:
+            self._closed = True
         self._queue.put(None)  # wake the worker
         self._worker.join(timeout)
         # fail anything that raced past the closed check so no caller

@@ -20,8 +20,9 @@ Endpoints (all JSON):
          noisy decode round trip, the tutorial.ipynb workflow as a service)
 
 Generation parameters are part of the batch key: requests only batch
-together when (k, inv_temp, noise_scale) agree, since they are traced
-constants / shared knobs of one device program.
+together when (k, inv_temp) agree, since they are shared knobs of one
+device program. noise_scale is applied host-side per request, so every
+noise level shares programs and co-batches.
 """
 
 from __future__ import annotations
@@ -97,8 +98,14 @@ class CoatiInferenceServer:
     ):
         """mesh: optional jax.sharding.Mesh — wraps the model in
         ShardedCOATI (parallel/inference.py) so request batches split
-        over the `data` axis (multi-chip serving)."""
+        over the `data` axis (multi-chip serving; COATI1 models only)."""
         if mesh is not None and mesh.devices.size > 1:
+            if hasattr(model, "hcoati_to_2d_batch"):
+                raise NotImplementedError(
+                    "mesh-sharded serving supports COATI1 models only "
+                    "(ShardedCOATI wraps the clip_e2e surface); serve "
+                    "COATI2 single-device or shard across replicas"
+                )
             from coati_tpu.parallel.inference import ShardedCOATI
 
             model = ShardedCOATI(model, mesh)
@@ -109,7 +116,8 @@ class CoatiInferenceServer:
             self.frontend.embed_rows, max_batch=max_batch, flush_ms=flush_ms,
             name="embed-batcher",
         )
-        # one batcher per generation-parameter tuple (traced constants)
+        self._noise = np.random.default_rng(0)
+        # one batcher per (k, inv_temp) tuple (program constants)
         self._gen_batchers: dict = {}
         self._gen_lock = threading.Lock()
         self._max_batch = max_batch
@@ -117,15 +125,28 @@ class CoatiInferenceServer:
         self._httpd: Optional[ThreadingHTTPServer] = None
         self._thread: Optional[threading.Thread] = None
 
-    def _gen_batcher(self, k: int, inv_temp: float, noise_scale: float):
-        key = (int(k), float(inv_temp), float(noise_scale))
+    # distinct (k, inv_temp) tuples each own a batcher + device program;
+    # bound them so hostile/misbehaving clients cannot grow threads and
+    # compile caches without limit
+    MAX_GEN_PROGRAMS = 32
+
+    def _gen_batcher(self, k: int, inv_temp: float):
+        # noise is applied host-side per request (op_generate), so it is
+        # deliberately NOT part of the program/batcher key — every noise
+        # level shares one device program and co-batches
+        key = (int(k), float(inv_temp))
         with self._gen_lock:
             if key not in self._gen_batchers:
+                if len(self._gen_batchers) >= self.MAX_GEN_PROGRAMS:
+                    raise ValueError(
+                        f"too many distinct (k, inv_temp) configs "
+                        f"(> {self.MAX_GEN_PROGRAMS}); reuse existing ones"
+                    )
                 fe = self.frontend
 
                 def gen_fn(rows, _key=key):
-                    kk, it, ns = _key
-                    return fe.generate(np.stack(rows), kk, it, ns)
+                    kk, it = _key
+                    return fe.generate(np.stack(rows), kk, it, 0.0)
 
                 self._gen_batchers[key] = MicroBatcher(
                     gen_fn, max_batch=self._max_batch,
@@ -146,10 +167,12 @@ class CoatiInferenceServer:
             raise ValueError(
                 f"embeddings must be (n, {self.frontend.embed_dim})"
             )
-        batcher = self._gen_batcher(
-            body.get("k", 100), body.get("inv_temp", 2.0),
-            body.get("noise_scale", 0.0),
-        )
+        noise_scale = float(body.get("noise_scale", 0.0))
+        if noise_scale > 0:
+            h = h + self._noise.normal(scale=noise_scale, size=h.shape).astype(
+                np.float32
+            )
+        batcher = self._gen_batcher(body.get("k", 100), body.get("inv_temp", 2.0))
         futs = [batcher.submit(row) for row in h]
         return {"smiles": [f.result() for f in futs]}
 
@@ -182,11 +205,11 @@ class CoatiInferenceServer:
     def warmup(
         self,
         max_bucket: int = 256,
-        gen_params: tuple = ((100, 2.0, 0.0),),
+        gen_params: tuple = ((100, 2.0),),
         verbose: bool = True,
     ) -> None:
         """Pre-compile the power-of-two bucket ladder for embed and for
-        each (k, inv_temp, noise_scale) generation program.
+        each (k, inv_temp) generation program.
 
         The API pads request batches to power-of-two buckets
         (models/api.py bucket_size) so each bucket is one XLA program;
@@ -200,8 +223,8 @@ class CoatiInferenceServer:
         while bucket <= max_bucket:
             t0 = time.perf_counter()
             h = self._warm_embed(bucket)
-            for k, inv_temp, noise_scale in gen_params:
-                self.frontend.generate(h, k, inv_temp, noise_scale)
+            for k, inv_temp in gen_params:
+                self.frontend.generate(h, k, inv_temp, 0.0)
             if verbose:
                 print(
                     f"warmup bucket {bucket}: {time.perf_counter() - t0:.1f}s",

@@ -46,10 +46,12 @@ class CheckpointManager:
         if latest is not None and step < latest:
             return  # stale re-save from a resumed run; keep the newer step
         if latest is not None and step == latest:
-            # end-of-run checkpoint at the last cadence step: replace it
-            # (orbax refuses in-place step rewrites)
-            self._mgr.wait_until_finished()
-            self._mgr.delete(step)
+            # end-of-run checkpoint at the last cadence step: write it as
+            # the next step instead of delete-then-rewrite — a crash
+            # between a delete and the (async) re-save would otherwise
+            # lose the only checkpoint. Orbax steps are labels; the true
+            # counters live inside the state.
+            step = latest + 1
         args = ocp.args.Composite(
             state=ocp.args.StandardSave(state),
             **(

@@ -397,7 +397,7 @@ def train_autoencoder(
     results = {"epochs": [], "losses": [], "best_test": 1e10, "best_epoch": 0,
                "best_params": None}
 
-    def checkpoint(tags, epoch: int = 0):
+    def checkpoint(tags):
         nonlocal ngrad_updates
         blob = serialize_model(
             train_args=config.as_dict(),
@@ -413,6 +413,11 @@ def train_autoencoder(
         )
         if logger is not None:
             logger.log_model_document(blob, tags=tags)
+
+    def orbax_checkpoint(epoch: int):
+        """Orbax save — a COLLECTIVE in multi-host runs (orbax syncs all
+        processes), so this must be called by EVERY process, unlike the
+        rank-0 document write above."""
         if ckpt_mgr is not None:
             ckpt_mgr.save(
                 global_step,
@@ -466,16 +471,21 @@ def train_autoencoder(
             cl = float(metrics["clip_loss"])
 
             bsz = batch["tokens"].shape[0]
-            if is_main:
+            # counters advance on EVERY process (deterministic from the
+            # shared input stream) so the checkpoint cadence fires in
+            # lockstep — the orbax save is a multi-host collective
+            if partition == "train":
                 ngrad_updates += bsz
                 ng += bsz
                 n_toks += int((batch["tokens"] > 0).sum())
                 if ngrad_updates > config.ngrad_to_save:
                     ngrad_updates = 0
-                    checkpoint(
-                        {"train_epoch": str(epoch), "dataset_epoch": str(epoch)},
-                        epoch=epoch,
-                    )
+                    if is_main:
+                        checkpoint(
+                            {"train_epoch": str(epoch), "dataset_epoch": str(epoch)}
+                        )
+                    orbax_checkpoint(epoch)
+            if is_main:
                 if logger is not None and i % config.log_batch_loss == 0:
                     offline_losses["batch_losses"].append(
                         logger.log_metric(
@@ -544,7 +554,8 @@ def train_autoencoder(
             )
 
     if is_main:
-        checkpoint({"best": "best"}, epoch=config.n_epochs)
+        checkpoint({"best": "best"})
+    orbax_checkpoint(config.n_epochs)
     if ckpt_mgr is not None:
         ckpt_mgr.wait()
         ckpt_mgr.close()

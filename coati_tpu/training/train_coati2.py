@@ -137,6 +137,7 @@ def make_coati2_train_step(
     *,
     stop_token: int,
     unk_token: int,
+    pad_token: int = 0,
     token_entropy_unit: float,
     do_clr: bool = True,
     clr_inv_temp: float = 10.0,
@@ -159,6 +160,7 @@ def make_coati2_train_step(
             batch["rand_tokens"],
             stop_token,
             unk_token,
+            pad_token,
         )
         ar = ar_loss_fn(logits, batch["y_next"])
         return h1, h2, bad_rows, ar
@@ -327,6 +329,7 @@ def train_coati2(
         mesh, model_cfg, optimizer,
         stop_token=tokenizer.stop_token,
         unk_token=tokenizer.unk_token,
+        pad_token=tokenizer.pad_token,
         token_entropy_unit=token_entropy_unit,
         do_clr=config.do_clr,
         clr_inv_temp=config.clr_inv_temp,
@@ -337,6 +340,7 @@ def train_coati2(
         mesh, model_cfg, optimizer,
         stop_token=tokenizer.stop_token,
         unk_token=tokenizer.unk_token,
+        pad_token=tokenizer.pad_token,
         token_entropy_unit=token_entropy_unit,
         do_clr=config.do_clr,
         clr_inv_temp=config.clr_inv_temp,
@@ -359,7 +363,7 @@ def train_coati2(
     rng = jax.random.PRNGKey(1)
     results = {"epochs": [], "losses": [], "best_test": 1e10, "best_epoch": 0}
 
-    def checkpoint(tags, epoch):
+    def checkpoint(tags):
         blob = serialize_model(
             train_args=config.as_dict(),
             dataset_summary=getattr(dataset, "summary", {}),
@@ -372,6 +376,9 @@ def train_coati2(
         )
         if logger is not None:
             logger.log_model_document(blob, tags=tags)
+
+    def orbax_checkpoint(epoch: int):
+        """COLLECTIVE in multi-host runs — call on EVERY process."""
         if ckpt_mgr is not None:
             ckpt_mgr.save(
                 global_step,
@@ -413,13 +420,18 @@ def train_coati2(
             ar = float(metrics["ar_loss"])
             cl = float(metrics["clip_loss"])
             bsz = batch["tokens"].shape[0]
-            if is_main:
+            # counters advance on every process so the orbax-collective
+            # cadence fires in lockstep across hosts
+            if partition == "train":
                 ngrad_updates += bsz
                 ng += bsz
-                n_toks += int((batch["tokens"] > 0).sum())
+                n_toks += int((batch["tokens"] != tokenizer.pad_token).sum())
                 if ngrad_updates > config.ngrad_to_save:
                     ngrad_updates = 0
-                    checkpoint({"train_epoch": str(epoch)}, epoch)
+                    if is_main:
+                        checkpoint({"train_epoch": str(epoch)})
+                    orbax_checkpoint(epoch)
+            if is_main:
                 if logger is not None and i % config.log_batch_loss == 0:
                     offline_losses["batch_losses"].append(
                         logger.log_metric(
@@ -464,7 +476,8 @@ def train_coati2(
             print(f"test loss: {test_loss:.4f} \t epoch {epoch}")
 
     if is_main:
-        checkpoint({"best": "best"}, config.n_epochs)
+        checkpoint({"best": "best"})
+    orbax_checkpoint(config.n_epochs)
     if ckpt_mgr is not None:
         ckpt_mgr.wait()
         ckpt_mgr.close()

@@ -62,6 +62,7 @@ def main():
         mesh, model_cfg, optimizer,
         stop_token=tok.stop_token,
         unk_token=tok.unk_token,
+        pad_token=tok.pad_token,
         token_entropy_unit=float(np.log2(tok.n_token)),
         do_clr=True,
         clr_inv_temp=config.clr_inv_temp,

@@ -91,10 +91,17 @@ def test_xform_structure_and_masking(tok):
     assert out["raw_tokens"].shape == out["rand_tokens"].shape
     props_id = tok.vocab["[PROPS]"]
     endprops_id = tok.vocab["[ENDPROPS]"]
+    assert tok.pad_token != 0  # coati2_12_12 quirk: [PAD]=31, id 0=[CHARGE]
     for row, y in zip(out["tokens"], out["y_next"]):
         assert props_id in row and endprops_id in row
         assert tok.clip_token in row and tok.unk_token in row
         assert tok.stop_token in row
+        # rows are padded with the REAL pad id and everything after
+        # [STOP] is masked out of the loss (a zero-fill would train the
+        # model to predict [CHARGE] forever)
+        stop_pos = list(row).index(tok.stop_token)
+        assert np.all(row[stop_pos + 1:] == tok.pad_token)
+        assert np.all(y[stop_pos:] == -1)
         # conditioning specials masked out of the loss
         assert not np.any(y == tok.clip_token)
         assert not np.any(y == tok.unk_token)
@@ -170,6 +177,7 @@ def test_direct_clr_sharded_equals_global(tok):
             mesh, cfg, optimizer,
             stop_token=tok.stop_token,
             unk_token=tok.unk_token,
+            pad_token=tok.pad_token,
             token_entropy_unit=float(np.log2(tok.n_token)),
             is_training=False,
             mode=mode,

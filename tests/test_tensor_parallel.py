@@ -209,6 +209,7 @@ def test_coati2_tp_step_matches_single_device():
             mesh, cfg, optimizer,
             stop_token=tok2.stop_token,
             unk_token=tok2.unk_token,
+            pad_token=tok2.pad_token,
             token_entropy_unit=float(np.log2(tok2.n_token)),
             mode="pjit",
         )
