@@ -18,6 +18,14 @@ the published artifacts:
     both views for the global contrastive batch;
   * checkpoints are COATI2 model documents loadable by
     coati_tpu.models.io.load_coati2, plus optional orbax restart-from-latest.
+
+Conditioning efficacy is validated end-to-end by
+scripts/eval_coati2_conditioning.py: a model trained with this stack
+steers generated molecule size EXACTLY to the conditioning token
+(correlation 1.000 across [NUM5/8/11/14] targets). Requirement learned
+there: keep p_clip < 1 — rows that train WITHOUT the [CLIP][UNK]
+embedding injection are what force the model to actually use the
+property tokens (with the embedding present they are redundant).
 """
 
 from __future__ import annotations
