@@ -55,6 +55,22 @@ def shard_batch(mesh: Mesh, batch: dict, axis: str = "data") -> dict:
     }
 
 
+def commit_to_template(mesh: Mesh, restored, template):
+    """Re-place a checkpoint-restored pytree onto the mesh using the
+    shardings of a freshly-built `template` (e.g. optimizer.init output).
+    Leaves without a usable sharding (host arrays, scalars whose template
+    carries an arbitrary single-device placement) replicate."""
+    replicated_sharding = replicated(mesh)
+
+    def place(r, t):
+        sharding = getattr(t, "sharding", None)
+        if sharding is None or getattr(t, "ndim", 0) == 0:
+            sharding = replicated_sharding
+        return jax.device_put(r, sharding)
+
+    return jax.tree_util.tree_map(place, restored, template)
+
+
 def replicate_params(mesh: Mesh, params):
     if mesh.devices.size == 1:
         dev = mesh.devices.reshape(-1)[0]

@@ -85,6 +85,11 @@ class TrainConfig:
     # distributed step formulation: "pjit" (SPMD sharding propagation) or
     # "shard_map" (explicit all_gather + pmean); see training/train.py
     parallel_mode: str = "pjit"
+    # parameter placement: "auto" (replicate on DP meshes, Megatron TP on
+    # a model axis — parallel/tp.py) or "fsdp" (ZeRO-3-style sharding of
+    # params + Adam moments over the data axis — parallel/fsdp.py;
+    # requires parallel_mode="pjit")
+    param_sharding: str = "auto"
 
     def as_dict(self) -> dict:
         return dataclasses.asdict(self)

@@ -303,18 +303,25 @@ def train_autoencoder(
             params = loaded
         print("Loaded from checkpoint. ")
 
-    # DP meshes replicate; a mesh with a "model" axis gets Megatron-style
-    # tensor-parallel weight shardings (parallel/tp.py; pjit mode only —
-    # GSPMD inserts the TP collectives)
-    from coati_tpu.parallel.tp import shard_params
+    # Parameter placement. "auto": DP meshes replicate, a mesh with a
+    # "model" axis gets Megatron-style tensor-parallel weight shardings
+    # (parallel/tp.py). "fsdp": ZeRO-3-style sharding of params + Adam
+    # moments over the data axis (parallel/fsdp.py). pjit mode only for
+    # both non-replicated layouts — GSPMD inserts the collectives.
+    if config.param_sharding == "fsdp":
+        if config.parallel_mode != "pjit":
+            raise ValueError("fsdp requires parallel_mode='pjit'")
+        from coati_tpu.parallel.fsdp import shard_params_fsdp as place_params
+    else:
+        from coati_tpu.parallel.tp import shard_params as place_params
 
-    if (
-        config.parallel_mode != "pjit"
-        and "model" in mesh.axis_names
-        and mesh.shape["model"] > 1
-    ):
-        raise ValueError("tensor parallelism requires parallel_mode='pjit'")
-    params = shard_params(mesh, params)
+        if (
+            config.parallel_mode != "pjit"
+            and "model" in mesh.axis_names
+            and mesh.shape["model"] > 1
+        ):
+            raise ValueError("tensor parallelism requires parallel_mode='pjit'")
+    params = place_params(mesh, params)
     opt_state = optimizer.init(params)
     start_epoch = 0
     global_step = 0
@@ -343,10 +350,19 @@ def train_autoencoder(
             if restored is not None:
                 # re-commit onto the mesh: the template's freshly-init'd
                 # opt_state scalars carry single-device placements
-                from coati_tpu.parallel.tp import commit_opt_state
+                from coati_tpu.parallel.mesh import commit_to_template
 
-                params = shard_params(mesh, restored["params"])
-                opt_state = commit_opt_state(mesh, restored["opt_state"], opt_state)
+                params = place_params(mesh, restored["params"])
+                if config.param_sharding == "fsdp" or (
+                    "model" in mesh.axis_names and mesh.shape["model"] > 1
+                ):
+                    opt_state = commit_to_template(
+                        mesh, restored["opt_state"], opt_state
+                    )
+                else:
+                    from coati_tpu.parallel.mesh import replicate_params
+
+                    opt_state = replicate_params(mesh, restored["opt_state"])
                 n_toks, ngrad_updates, start_epoch, global_step = (
                     int(x) for x in restored["counters"]
                 )
