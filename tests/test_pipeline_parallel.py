@@ -1,0 +1,144 @@
+"""Pipeline-parallelism tests (parallel/pp.py, beyond-parity: the
+reference is DDP-only, SURVEY §2.2).
+
+On the 8-device CPU mesh: the GPipe schedule's forward is token-exact
+vs the single-device transformer, injection rides stage 0, and the
+DP x PP train step reproduces the single-device AdamW step."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import PartitionSpec as P
+
+from coati_tpu.models import transformer as T
+from coati_tpu.models.transformer import TransformerConfig, init_transformer
+from coati_tpu.parallel.pp import (
+    make_pp_ar_train_step,
+    make_pp_forward_logits,
+    make_pp_mesh,
+    pp_param_specs,
+    shard_params_pp,
+)
+
+
+def small_cfg(n_layer=8):
+    return TransformerConfig(
+        n_layer=n_layer, n_embd=32, n_head=2, n_seq=16, n_tok=50, biases=True
+    )
+
+
+def batch_tokens(cfg, batch=16, seed=0):
+    rng = np.random.default_rng(seed)
+    tokens = rng.integers(0, cfg.n_tok, size=(batch, cfg.n_seq)).astype(np.int32)
+    y_next = np.zeros_like(tokens)
+    y_next[:, :-1] = tokens[:, 1:]
+    y_next[:, -1] = -1
+    y_next[rng.random(y_next.shape) < 0.1] = -1  # some masked labels
+    return jnp.asarray(tokens), jnp.asarray(y_next)
+
+
+def test_pp_param_specs():
+    cfg = small_cfg()
+    params = init_transformer(jax.random.PRNGKey(0), cfg)
+    specs = pp_param_specs(params)
+    assert specs.blocks.w_attn == P("pipe")
+    assert specs.blocks.ln1_scale == P("pipe")
+    assert specs.tok_emb == P()
+    assert specs.lm_head == P()
+    assert specs.lnf_scale == P()
+
+
+@pytest.mark.parametrize("pipe,micro", [(4, 4), (8, 2), (2, 1)])
+def test_pp_forward_matches_single_device(pipe, micro):
+    cfg = small_cfg()
+    params = init_transformer(jax.random.PRNGKey(0), cfg)
+    tokens, _ = batch_tokens(cfg)
+    want = T.forward_logits(params, cfg, tokens)
+
+    mesh = make_pp_mesh(8, pipe=pipe)
+    fwd = make_pp_forward_logits(mesh, cfg, params, n_microbatches=micro)
+    got = fwd(shard_params_pp(mesh, params), tokens)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_pp_forward_with_injection():
+    cfg = small_cfg()
+    params = init_transformer(jax.random.PRNGKey(0), cfg)
+    tokens, _ = batch_tokens(cfg)
+    inject_token = 7
+    injection = jax.random.normal(jax.random.PRNGKey(3), (tokens.shape[0], cfg.n_embd))
+    want = T.forward_logits(params, cfg, tokens, injection, inject_token)
+
+    mesh = make_pp_mesh(8, pipe=4)
+    fwd = make_pp_forward_logits(
+        mesh, cfg, params, n_microbatches=2, inject_token=inject_token
+    )
+    got = fwd(shard_params_pp(mesh, params), tokens, injection)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def _single_device_step(cfg, params, optimizer, tokens, y_next):
+    from coati_tpu.models.coati import cross_entropy_ignore
+
+    def loss_fn(p):
+        logits = T.forward_logits(p, cfg, tokens)
+        return cross_entropy_ignore(
+            logits.reshape(-1, cfg.n_tok), y_next.reshape(-1)
+        )
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    opt_state = optimizer.init(params)
+    updates, _ = optimizer.update(grads, opt_state, params)
+    return float(loss), optax.apply_updates(params, updates)
+
+
+def test_pp_train_step_matches_single_device():
+    """One DP x PP AdamW step == the single-device step (loss + params)."""
+    cfg = small_cfg()
+    params0 = jax.device_get(init_transformer(jax.random.PRNGKey(0), cfg))
+    tokens, y_next = batch_tokens(cfg)
+    optimizer = optax.chain(
+        optax.clip_by_global_norm(10.0),
+        optax.adamw(1e-3, b1=0.9, b2=0.99, weight_decay=0.1),
+    )
+    loss_ref, params_ref = _single_device_step(
+        cfg, params0, optimizer, tokens, y_next
+    )
+
+    mesh = make_pp_mesh(8, pipe=4)  # data=2 x pipe=4
+    params = shard_params_pp(mesh, params0)
+    opt_state = optimizer.init(params)
+    step = make_pp_ar_train_step(
+        mesh, cfg, params, optimizer, n_microbatches=2
+    )
+    from coati_tpu.parallel.mesh import batch_sharding
+
+    batch = {
+        "tokens": jax.device_put(tokens, batch_sharding(mesh)),
+        "y_next": jax.device_put(y_next, batch_sharding(mesh)),
+    }
+    params, opt_state, metrics = step(params, opt_state, batch)
+
+    assert float(metrics["loss"]) == pytest.approx(loss_ref, rel=2e-5)
+    # atol 1e-3: a fresh Adam step is ~lr*sign(g), so f32 summation-order
+    # noise in near-zero grads can flip isolated elements by up to 2*lr
+    for a, b in zip(
+        jax.tree_util.tree_leaves(jax.device_get(params_ref)),
+        jax.tree_util.tree_leaves(jax.device_get(params)),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+
+def test_pp_pure_pipe_mesh():
+    """pipe=8 (no data axis) still reproduces the single-device forward."""
+    cfg = small_cfg(n_layer=8)
+    params = init_transformer(jax.random.PRNGKey(1), cfg)
+    tokens, _ = batch_tokens(cfg, batch=8, seed=2)
+    want = T.forward_logits(params, cfg, tokens)
+    mesh = make_pp_mesh(8, pipe=8)
+    fwd = make_pp_forward_logits(mesh, cfg, params, n_microbatches=4)
+    got = fwd(shard_params_pp(mesh, params), tokens)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
