@@ -182,9 +182,19 @@ def _egnn_layer(
     hi = jnp.matmul(h, w_i, precision=prec)  # (B, N, H)
     hj = jnp.matmul(h, w_j, precision=prec)
     if cfg.fused_messages and cfg.act_fn == "SiLU":
-        from coati_tpu.ops.pallas.egnn_messages import egnn_messages
+        from coati_tpu.ops.pallas.egnn_messages import (
+            egnn_messages,
+            egnn_messages_bf16,
+        )
 
-        mi = egnn_messages(
+        # bf16 compute -> bf16 MXU inputs inside the kernel (single-pass
+        # systolic passes, f32 accumulation); f32 keeps oracle parity
+        fused = (
+            egnn_messages_bf16
+            if cfg.compute_dtype == jnp.bfloat16
+            else egnn_messages
+        )
+        mi = fused(
             hi, hj, d2, msg_weight, w_d, layer.edge_b1, layer.edge_w2, layer.edge_b2
         ).astype(h.dtype)
     else:

@@ -60,14 +60,17 @@ def _dsilu(x):
 # ------------------------------------------------------------- forward
 
 
-def _fwd_kernel(a_ref, c_ref, d2_ref, w_ref, wd_ref, b1_ref, w2_ref, b2_ref, out_ref):
+def _fwd_kernel(
+    a_ref, c_ref, d2_ref, w_ref, wd_ref, b1_ref, w2_ref, b2_ref, out_ref,
+    *, mm_dtype=jnp.float32,
+):
     nj = c_ref.shape[1]
     ni = a_ref.shape[1]
     hm = a_ref.shape[2]
     for b in range(TILE_B):  # static loops: one coarse grid step per
         for iblk in range(ni // TILE_I):  # TILE_B molecules
             a = a_ref[b, pl.ds(iblk * TILE_I, TILE_I), :]  # (TILE_I, Hm)
-            acc = jnp.zeros((TILE_I, hm), jnp.float32)
+            w_rows = w_ref[b, pl.ds(iblk * TILE_I, TILE_I), :]
 
             def body(jblk, acc, b=b, iblk=iblk, a=a):
                 c = c_ref[b, pl.ds(jblk * TILE_J, TILE_J), :]  # (TILE_J, Hm)
@@ -84,23 +87,41 @@ def _fwd_kernel(a_ref, c_ref, d2_ref, w_ref, wd_ref, b1_ref, w2_ref, b2_ref, out
                     + b1_ref[0]
                 )  # (TILE_I, TILE_J, Hm)
                 e1 = _silu(z1).reshape(TILE_I * TILE_J, hm)
+                # mm_dtype=bfloat16 guarantees single-pass MXU matmuls
+                # (measured neutral on v5e where Mosaic already truncates
+                # f32 dot inputs; explicit for toolchains that don't)
                 z2 = (
-                    jnp.dot(e1, w2_ref[:], preferred_element_type=jnp.float32)
+                    jnp.dot(
+                        e1.astype(mm_dtype),
+                        w2_ref[:].astype(mm_dtype),
+                        preferred_element_type=jnp.float32,
+                    )
                     + b2_ref[0]
                 )
                 m = _silu(z2).reshape(TILE_I, TILE_J, hm)
                 return acc + jnp.sum(m * w[:, :, None], axis=1)
 
-            acc = jax.lax.fori_loop(0, nj // TILE_J, body, acc)
+            # skip i-blocks whose every pair weight is zero — atoms are
+            # packed before padding, so rows past a molecule's atom count
+            # are fully masked and the whole edge-MLP block is dead work
+            # (the kernel is VPU-bound on silu, so skipped blocks are
+            # near-free). The branch is a real scf.if at block level.
+            acc = jax.lax.cond(
+                jnp.max(jnp.abs(w_rows)) > 0.0,
+                lambda body=body: jax.lax.fori_loop(
+                    0, nj // TILE_J, body, jnp.zeros((TILE_I, hm), jnp.float32)
+                ),
+                lambda: jnp.zeros((TILE_I, hm), jnp.float32),
+            )
             out_ref[b, pl.ds(iblk * TILE_I, TILE_I), :] = acc
 
 
-def _fwd_pallas(a, c, d2, w, wd, b1, w2, b2):
+def _fwd_pallas(a, c, d2, w, wd, b1, w2, b2, mm_dtype=jnp.float32):
     b_sz, ni, hm = a.shape
     nj = c.shape[1]
     grid = (b_sz // TILE_B,)
     return pl.pallas_call(
-        _fwd_kernel,
+        functools.partial(_fwd_kernel, mm_dtype=mm_dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((TILE_B, ni, hm), lambda b: (b, 0, 0)),
@@ -131,6 +152,7 @@ def egnn_messages_reference(a, c, d2, w, wd, b1, w2, b2):
 def _bwd_kernel(
     a_ref, c_ref, d2_ref, w_ref, wd_ref, b1_ref, w2_ref, b2_ref, g_ref,
     da_ref, dc_ref, dwd_ref, db1_ref, dw2_ref, db2_ref,
+    *, mm_dtype=jnp.float32,
 ):
     b_idx = pl.program_id(0)
     nj = c_ref.shape[1]
@@ -150,7 +172,7 @@ def _bwd_kernel(
         for iblk in range(ni // TILE_I):
             a = a_ref[b, pl.ds(iblk * TILE_I, TILE_I), :]
             g = g_ref[b, pl.ds(iblk * TILE_I, TILE_I), :]
-            da_acc = jnp.zeros((TILE_I, hm), jnp.float32)
+            w_rows = w_ref[b, pl.ds(iblk * TILE_I, TILE_I), :]
 
             def body(jblk, da_acc, b=b, iblk=iblk, a=a, g=g):
                 c = c_ref[b, pl.ds(jblk * TILE_J, TILE_J), :]
@@ -169,17 +191,29 @@ def _bwd_kernel(
                 z1f = z1.reshape(TILE_I * TILE_J, hm)
                 e1 = _silu(z1f)
                 z2 = (
-                    jnp.dot(e1, w2_ref[:], preferred_element_type=jnp.float32)
+                    jnp.dot(
+                        e1.astype(mm_dtype),
+                        w2_ref[:].astype(mm_dtype),
+                        preferred_element_type=jnp.float32,
+                    )
                     + b2_ref[0]
                 )
                 # dm = w_ij * g_i broadcast over j
                 dm = (w[:, :, None] * g[:, None, :]).reshape(TILE_I * TILE_J, hm)
                 dz2 = dm * _dsilu(z2)
-                de1 = jnp.dot(dz2, w2_ref[:].T, preferred_element_type=jnp.float32)
+                de1 = jnp.dot(
+                    dz2.astype(mm_dtype),
+                    w2_ref[:].T.astype(mm_dtype),
+                    preferred_element_type=jnp.float32,
+                )
                 dz1 = de1 * _dsilu(z1f)
                 dz1_3d = dz1.reshape(TILE_I, TILE_J, hm)
                 # parameter grads (accumulated across the sequential grid)
-                dw2_ref[:] += jnp.dot(e1.T, dz2, preferred_element_type=jnp.float32)
+                dw2_ref[:] += jnp.dot(
+                    e1.T.astype(mm_dtype),
+                    dz2.astype(mm_dtype),
+                    preferred_element_type=jnp.float32,
+                )
                 db2_ref[0] += jnp.sum(dz2, axis=0)
                 db1_ref[0] += jnp.sum(dz1, axis=0)
                 dwd_ref[0] += jnp.sum(
@@ -189,16 +223,30 @@ def _bwd_kernel(
                 dc_ref[b, pl.ds(jblk * TILE_J, TILE_J), :] += jnp.sum(dz1_3d, axis=0)
                 return da_acc + jnp.sum(dz1_3d, axis=1)
 
-            da_acc = jax.lax.fori_loop(0, nj // TILE_J, body, da_acc)
-            da_ref[b, pl.ds(iblk * TILE_I, TILE_I), :] = da_acc
+            # i-block skip (see forward kernel): fully-masked rows have
+            # dm = w*g = 0, so every gradient contribution is zero too
+            live = jnp.max(jnp.abs(w_rows)) > 0.0
+
+            @pl.when(live)
+            def _(body=body, b=b, iblk=iblk):
+                da_acc = jax.lax.fori_loop(
+                    0, nj // TILE_J, body, jnp.zeros((TILE_I, hm), jnp.float32)
+                )
+                da_ref[b, pl.ds(iblk * TILE_I, TILE_I), :] = da_acc
+
+            @pl.when(jnp.logical_not(live))
+            def _(b=b, iblk=iblk):
+                da_ref[b, pl.ds(iblk * TILE_I, TILE_I), :] = jnp.zeros(
+                    (TILE_I, hm), jnp.float32
+                )
 
 
-def _bwd_pallas(a, c, d2, w, wd, b1, w2, b2, g):
+def _bwd_pallas(a, c, d2, w, wd, b1, w2, b2, g, mm_dtype=jnp.float32):
     b_sz, ni, hm = a.shape
     nj = c.shape[1]
     grid = (b_sz // TILE_B,)
     return pl.pallas_call(
-        _bwd_kernel,
+        functools.partial(_bwd_kernel, mm_dtype=mm_dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((TILE_B, ni, hm), lambda b: (b, 0, 0)),
@@ -233,14 +281,6 @@ def _bwd_pallas(a, c, d2, w, wd, b1, w2, b2, g):
 # --------------------------------------------------------- public entry
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=())
-def egnn_messages(a, c, d2, w, wd, b1, w2, b2):
-    """Fused masked message aggregation. Shapes:
-    a, c: (B, N, Hm); d2, w: (B, N, N) [w carries cutoff*mask, no grad];
-    wd, b1, b2: (Hm,); w2: (Hm, Hm). Returns mi (B, N, Hm)."""
-    return _dispatch_fwd(a, c, d2, w, wd, b1, w2, b2)
-
-
 def _on_tpu() -> bool:
     return jax.default_backend() in ("tpu", "axon")
 
@@ -261,64 +301,85 @@ def _pad_all(a, c, d2, w, extra=None):
     return out
 
 
-def _dispatch_fwd(a, c, d2, w, wd, b1, w2, b2):
-    b_sz, n, hm = a.shape
-    if not _on_tpu() or hm % 128 != 0:
-        return egnn_messages_reference(a, c, d2, w, wd, b1, w2, b2)
-    a_p, c_p, d2_p, w_p = _pad_all(a, c, d2, w)
-    out = _fwd_pallas(
-        a_p.astype(jnp.float32),
-        c_p.astype(jnp.float32),
-        d2_p.astype(jnp.float32),
-        w_p.astype(jnp.float32),
-        wd.reshape(1, hm).astype(jnp.float32),
-        b1.reshape(1, hm).astype(jnp.float32),
-        w2.astype(jnp.float32),
-        b2.reshape(1, hm).astype(jnp.float32),
-    )
-    return out[:b_sz, :n].astype(a.dtype)
+def _make_egnn_messages(mm_dtype):
+    """Build the custom-VJP fused message op with a fixed MXU input
+    dtype. f32 keeps oracle-parity numerics; bf16 runs the inner matmuls
+    single-pass on the MXU (~4x matmul rate) with f32 accumulation — the
+    right trade for bf16 training, where activations are bf16 anyway."""
 
-
-def _egnn_messages_fwd(a, c, d2, w, wd, b1, w2, b2):
-    out = _dispatch_fwd(a, c, d2, w, wd, b1, w2, b2)
-    return out, (a, c, d2, w, wd, b1, w2, b2)
-
-
-def _egnn_messages_bwd(res, g):
-    a, c, d2, w, wd, b1, w2, b2 = res
-    b_sz, n, hm = a.shape
-    if not _on_tpu() or hm % 128 != 0:
-        # reference backward via jnp autodiff of the reference forward
-        def f(a, c, wd, b1, w2, b2):
+    def dispatch_fwd(a, c, d2, w, wd, b1, w2, b2):
+        b_sz, n, hm = a.shape
+        if not _on_tpu() or hm % 128 != 0:
             return egnn_messages_reference(a, c, d2, w, wd, b1, w2, b2)
+        a_p, c_p, d2_p, w_p = _pad_all(a, c, d2, w)
+        out = _fwd_pallas(
+            a_p.astype(jnp.float32),
+            c_p.astype(jnp.float32),
+            d2_p.astype(jnp.float32),
+            w_p.astype(jnp.float32),
+            wd.reshape(1, hm).astype(jnp.float32),
+            b1.reshape(1, hm).astype(jnp.float32),
+            w2.astype(jnp.float32),
+            b2.reshape(1, hm).astype(jnp.float32),
+            mm_dtype=mm_dtype,
+        )
+        return out[:b_sz, :n].astype(a.dtype)
 
-        _, vjp = jax.vjp(f, a, c, wd, b1, w2, b2)
-        da, dc, dwd, db1, dw2, db2 = vjp(g)
-        # d2 / w are masks & stop-gradient'd by the caller: zero cotangents
-        return da, dc, jnp.zeros_like(d2), jnp.zeros_like(w), dwd, db1, dw2, db2
+    @jax.custom_vjp
+    def fused(a, c, d2, w, wd, b1, w2, b2):
+        """Fused masked message aggregation. Shapes:
+        a, c: (B, N, Hm); d2, w: (B, N, N) [w carries cutoff*mask, no
+        grad]; wd, b1, b2: (Hm,); w2: (Hm, Hm). Returns mi (B, N, Hm)."""
+        return dispatch_fwd(a, c, d2, w, wd, b1, w2, b2)
 
-    a_p, c_p, d2_p, w_p, g_p = _pad_all(a, c, d2, w, g.astype(jnp.float32))
-    da, dc, dwd, db1, dw2, db2 = _bwd_pallas(
-        a_p.astype(jnp.float32),
-        c_p.astype(jnp.float32),
-        d2_p.astype(jnp.float32),
-        w_p.astype(jnp.float32),
-        wd.reshape(1, hm).astype(jnp.float32),
-        b1.reshape(1, hm).astype(jnp.float32),
-        w2.astype(jnp.float32),
-        b2.reshape(1, hm).astype(jnp.float32),
-        g_p,
-    )
-    return (
-        da[:b_sz, :n].astype(a.dtype),
-        dc[:b_sz, :n].astype(c.dtype),
-        jnp.zeros_like(d2),
-        jnp.zeros_like(w),
-        dwd[0].astype(wd.dtype),
-        db1[0].astype(b1.dtype),
-        dw2.astype(w2.dtype),
-        db2[0].astype(b2.dtype),
-    )
+    def fwd(a, c, d2, w, wd, b1, w2, b2):
+        out = dispatch_fwd(a, c, d2, w, wd, b1, w2, b2)
+        return out, (a, c, d2, w, wd, b1, w2, b2)
+
+    def bwd(res, g):
+        a, c, d2, w, wd, b1, w2, b2 = res
+        b_sz, n, hm = a.shape
+        if not _on_tpu() or hm % 128 != 0:
+            # reference backward via jnp autodiff of the reference forward
+            def f(a, c, wd, b1, w2, b2):
+                return egnn_messages_reference(a, c, d2, w, wd, b1, w2, b2)
+
+            _, vjp = jax.vjp(f, a, c, wd, b1, w2, b2)
+            da, dc, dwd, db1, dw2, db2 = vjp(g)
+            # d2 / w are masks & stop-gradient'd by the caller: zero
+            # cotangents
+            return (
+                da, dc, jnp.zeros_like(d2), jnp.zeros_like(w),
+                dwd, db1, dw2, db2,
+            )
+
+        a_p, c_p, d2_p, w_p, g_p = _pad_all(a, c, d2, w, g.astype(jnp.float32))
+        da, dc, dwd, db1, dw2, db2 = _bwd_pallas(
+            a_p.astype(jnp.float32),
+            c_p.astype(jnp.float32),
+            d2_p.astype(jnp.float32),
+            w_p.astype(jnp.float32),
+            wd.reshape(1, hm).astype(jnp.float32),
+            b1.reshape(1, hm).astype(jnp.float32),
+            w2.astype(jnp.float32),
+            b2.reshape(1, hm).astype(jnp.float32),
+            g_p,
+            mm_dtype=mm_dtype,
+        )
+        return (
+            da[:b_sz, :n].astype(a.dtype),
+            dc[:b_sz, :n].astype(c.dtype),
+            jnp.zeros_like(d2),
+            jnp.zeros_like(w),
+            dwd[0].astype(wd.dtype),
+            db1[0].astype(b1.dtype),
+            dw2.astype(w2.dtype),
+            db2[0].astype(b2.dtype),
+        )
+
+    fused.defvjp(fwd, bwd)
+    return fused
 
 
-egnn_messages.defvjp(_egnn_messages_fwd, _egnn_messages_bwd)
+egnn_messages = _make_egnn_messages(jnp.float32)
+egnn_messages_bf16 = _make_egnn_messages(jnp.bfloat16)

@@ -1,6 +1,10 @@
 """Validate the Pallas fused EGNN kernel vs the reference jnp path, on TPU."""
 import numpy as np, jax, jax.numpy as jnp, time
-from coati_tpu.ops.pallas.egnn_messages import egnn_messages, egnn_messages_reference, _dispatch_fwd
+from coati_tpu.ops.pallas.egnn_messages import (
+    egnn_messages,
+    egnn_messages_bf16,
+    egnn_messages_reference,
+)
 
 print("backend:", jax.default_backend())
 rng = np.random.default_rng(0)
@@ -17,6 +21,8 @@ b2 = jnp.asarray(rng.normal(size=(Hm,)), jnp.float32)
 ref = np.asarray(egnn_messages_reference(a,c,d2,w,wd,b1,w2,b2))
 out = np.asarray(jax.jit(egnn_messages)(a,c,d2,w,wd,b1,w2,b2))
 print("fwd max abs diff:", np.abs(out-ref).max(), " rel:", np.abs(out-ref).max()/np.abs(ref).max())
+out16 = np.asarray(jax.jit(egnn_messages_bf16)(a,c,d2,w,wd,b1,w2,b2))
+print("fwd bf16mm rel diff:", np.abs(out16-ref).max()/np.abs(ref).max(), "(expect ~bf16 eps)")
 
 # gradients
 def loss_fused(a,c,wd,b1,w2,b2):
