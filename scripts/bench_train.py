@@ -7,7 +7,11 @@ workload. Steps are chained inside one jit-driven loop to amortize the
 host round-trip.
 
 Env knobs: TRAIN_BATCH (per-chip, default 160), TRAIN_SEQ (default 80),
-TRAIN_ATOMS (default 96), TRAIN_DTYPE (default bfloat16).
+TRAIN_ATOMS (default 96), TRAIN_DTYPE (default bfloat16),
+TRAIN_PACKED=1 for realistic per-molecule atom counts (geom_drugs-like
+U(24, N) heavy atoms packed before padding — exercises the EGNN
+kernel's masked-block skip; default 0 keeps every atom real for
+comparability with earlier journal numbers).
 """
 
 from __future__ import annotations
@@ -69,13 +73,17 @@ def main():
     y_next = np.zeros_like(tokens)
     y_next[:, :-1] = tokens[:, 1:]
     y_next[y_next == tok.pad_token] = -1
+    atoms = rng.integers(1, 9, size=(g_batch, n_atoms)).astype(np.int32)
+    if os.environ.get("TRAIN_PACKED", "0") == "1":
+        natoms = rng.integers(24, n_atoms + 1, size=(g_batch,))
+        atoms[np.arange(n_atoms)[None, :] >= natoms[:, None]] = 0
     device_batch = shard_batch(
         mesh,
         {
             "raw_tokens": tokens,
             "tokens": tokens,
             "y_next": y_next,
-            "atoms": rng.integers(1, 9, size=(g_batch, n_atoms)).astype(np.int32),
+            "atoms": atoms,
             "coords": rng.normal(size=(g_batch, n_atoms, 3)).astype(np.float32),
         },
     )
