@@ -77,6 +77,7 @@ def build_model(n_seq: int, dtype: str):
         token_mlp=True,
         dtype=dtype,
         kv_dtype=os.environ.get("BENCH_KV", "int8"),
+        kv_scale_dtype=os.environ.get("BENCH_KV_SCALE", "float32"),
         decode_kernel=os.environ.get("BENCH_KERNEL", "xla"),
     )
     params = init_coati(jax.random.PRNGKey(0), cfg)

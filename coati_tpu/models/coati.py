@@ -67,6 +67,9 @@ class CoatiConfig:
     # KV-cache storage for generation ("auto" | "int8"; see
     # TransformerConfig.kv_dtype)
     kv_dtype: str = struct.field(pytree_node=False, default="auto")
+    # int8 scale storage ("float32" | "bfloat16"; see
+    # TransformerConfig.kv_scale_dtype)
+    kv_scale_dtype: str = struct.field(pytree_node=False, default="float32")
     # decode attention backend ("xla" | "pallas"; see
     # TransformerConfig.decode_kernel)
     decode_kernel: str = struct.field(pytree_node=False, default="xla")
@@ -93,6 +96,7 @@ class CoatiConfig:
             dtype=self.dtype,
             precision=self.precision,
             kv_dtype=self.kv_dtype,
+            kv_scale_dtype=self.kv_scale_dtype,
             decode_kernel=self.decode_kernel,
             remat=self.remat,
         )

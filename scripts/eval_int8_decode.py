@@ -122,6 +122,8 @@ def main():
         ("fp32", {"dtype": "float32"}),
         ("bf16", {"dtype": "bfloat16"}),
         ("bf16+int8kv", {"dtype": "bfloat16", "kv_dtype": "int8"}),
+        ("bf16+int8kv+bf16scale", {"dtype": "bfloat16", "kv_dtype": "int8",
+                                   "kv_scale_dtype": "bfloat16"}),
         ("bf16+int8kv+pallas", {"dtype": "bfloat16", "kv_dtype": "int8",
                                 "decode_kernel": "pallas"}),
     ):

@@ -221,6 +221,13 @@ def test_int8_kv_cache_decode_close_to_fp32():
     # greedy argmax agreement on the overwhelming majority of positions
     agree = (quant.argmax(-1) == full.argmax(-1)).mean()
     assert agree > 0.9, agree
+    # bf16 scale storage (halves the (L,2,B,T,H) scale traffic) stays in
+    # the same error envelope
+    quant16 = run(cfg8.replace(kv_scale_dtype="bfloat16"))
+    err16 = np.abs(quant16[:, 1:] - full[:, 1:]).max()
+    assert err16 / ref_scale < 0.05, (err16, ref_scale)
+    agree16 = (quant16.argmax(-1) == full.argmax(-1)).mean()
+    assert agree16 > 0.9, agree16
 
 
 def test_int8_generation_runs():
