@@ -141,6 +141,11 @@ def ep_param_specs(params: MoeParams) -> MoeParams:
 
 
 def shard_params_ep(mesh: Mesh, params: MoeParams) -> MoeParams:
+    n_shards = mesh.shape["expert"]
+    n_experts = params.w_fc.shape[0]
+    assert n_experts % n_shards == 0, (
+        f"n_experts {n_experts} must divide evenly into {n_shards} expert shards"
+    )
     specs = ep_param_specs(params)
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs

@@ -72,6 +72,11 @@ def pp_param_specs(params: TransformerParams) -> TransformerParams:
 
 
 def shard_params_pp(mesh: Mesh, params: TransformerParams) -> TransformerParams:
+    n_stages = mesh.shape["pipe"]
+    n_layer = params.blocks.w_attn.shape[0]
+    assert n_layer % n_stages == 0, (
+        f"n_layer {n_layer} must divide evenly into {n_stages} pipeline stages"
+    )
     specs = pp_param_specs(params)
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs

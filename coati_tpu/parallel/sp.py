@@ -31,7 +31,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import shard_map
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from coati_tpu.models.transformer import (
     TransformerConfig,
@@ -205,7 +205,16 @@ def make_sp_forward_logits(
             out_specs=P(d_ax, seq_axis),
             check_vma=False,
         )
-    return jax.jit(mapped)
+    jitted = jax.jit(mapped)
+
+    def wrapped(params, tokens, *rest):
+        assert tokens.shape[1] % n_shards == 0, (
+            f"sequence length {tokens.shape[1]} must divide evenly into "
+            f"{n_shards} seq shards"
+        )
+        return jitted(params, tokens, *rest)
+
+    return wrapped
 
 
 def make_sp_encode(
