@@ -170,7 +170,6 @@ def _sp_hidden(
 def make_sp_forward_logits(
     mesh: Mesh,
     cfg: TransformerConfig,
-    n_microseq: Optional[int] = None,  # reserved; one block per device
     inject_token: Optional[int] = None,
     data_axis: str = "data",
     seq_axis: str = "seq",
@@ -206,11 +205,23 @@ def make_sp_forward_logits(
             check_vma=False,
         )
     jitted = jax.jit(mapped)
+    return _check_seq(jitted, cfg, n_shards)
+
+
+def _check_seq(jitted, cfg: TransformerConfig, n_shards: int):
+    """Guard the sharded call: the total length must split evenly over
+    the seq axis AND fit the rotary tables — dynamic_slice would CLAMP
+    an out-of-range shard offset and silently reuse the last cos/sin
+    window (the dense path fails loudly instead)."""
 
     def wrapped(params, tokens, *rest):
-        assert tokens.shape[1] % n_shards == 0, (
-            f"sequence length {tokens.shape[1]} must divide evenly into "
-            f"{n_shards} seq shards"
+        t = tokens.shape[1]
+        assert t % n_shards == 0, (
+            f"sequence length {t} must divide evenly into {n_shards} seq shards"
+        )
+        assert t <= cfg.n_seq, (
+            f"sequence length {t} exceeds cfg.n_seq={cfg.n_seq}; rotary "
+            "tables only cover n_seq positions"
         )
         return jitted(params, tokens, *rest)
 
@@ -225,18 +236,32 @@ def make_sp_encode(
     seq_axis: str = "seq",
 ):
     """Build a jitted sequence-parallel `encode`: (params, tokens) ->
-    (B, D) hidden at the [STOP] position. Each shard contracts its local
-    (tokens == stop) one-hot against its hidden block and the psum over
-    the seq axis assembles the row (the stop token lives in exactly one
-    shard — the reference asserts exactly one [STOP] per row,
-    smiles_xformer.py:60-68)."""
+    (B, D) hidden at the FIRST [STOP] position per row, matching
+    transformer.stop_token_hidden exactly: a cross-shard pmin finds the
+    globally-first stop (rows with several stops take the first, rows
+    with none fall back to position 0 — argmax-over-all-false
+    semantics), then the owning shard contributes via a one-hot
+    contraction and the psum assembles the row."""
     n_shards = mesh.shape[seq_axis]
     has_data = data_axis in mesh.axis_names and mesh.shape[data_axis] > 1
     d_ax = data_axis if has_data else None
+    big = np.int32(2**30)
 
     def fn(params, tokens):
         hidden = _sp_hidden(params, cfg, tokens, n_shards, None, None, seq_axis)
-        onehot = (tokens == stop_token).astype(hidden.dtype)
+        t = tokens.shape[1]
+        off = jax.lax.axis_index(seq_axis) * t
+        is_stop = tokens == stop_token
+        has = jnp.any(is_stop, axis=1)
+        local_first = jnp.argmax(is_stop, axis=1)
+        global_pos = jnp.where(has, off + local_first, big)
+        global_first = jax.lax.pmin(global_pos, seq_axis)
+        global_first = jnp.where(global_first >= big, 0, global_first)
+        local_idx = global_first - off
+        in_range = (local_idx >= 0) & (local_idx < t)
+        onehot = jax.nn.one_hot(
+            jnp.clip(local_idx, 0, t - 1), t, dtype=hidden.dtype
+        ) * in_range[:, None].astype(hidden.dtype)
         local = jnp.einsum("bt,btd->bd", onehot, hidden)
         return jax.lax.psum(local, seq_axis)
 
@@ -246,4 +271,4 @@ def make_sp_encode(
         out_specs=P(d_ax),
         check_vma=False,
     )
-    return jax.jit(mapped)
+    return _check_seq(jax.jit(mapped), cfg, n_shards)

@@ -98,20 +98,14 @@ def commit_opt_state(mesh: Mesh, restored, template, model_axis: str = "model"):
     `template` is a freshly-init'd opt_state whose moment leaves inherit
     the (possibly tensor-parallel) param shardings but whose scalars
     (adam count) carry arbitrary single-device placements — so scalars
-    are replicated explicitly. DP meshes just replicate everything
-    (keeping the single-device plain-placement fast path)."""
+    are replicated explicitly (mesh.commit_to_template). DP meshes just
+    replicate everything (keeping the single-device plain-placement fast
+    path)."""
     if model_axis not in mesh.axis_names or mesh.shape[model_axis] == 1:
         return replicate_params(mesh, restored)
+    from coati_tpu.parallel.mesh import commit_to_template
 
-    replicated = NamedSharding(mesh, P())
-
-    def place(r, t):
-        sharding = getattr(t, "sharding", None)
-        if sharding is None or getattr(t, "ndim", 0) == 0:
-            sharding = replicated
-        return jax.device_put(r, sharding)
-
-    return jax.tree_util.tree_map(place, restored, template)
+    return commit_to_template(mesh, restored, template)
 
 
 def make_tp_mesh(

@@ -303,24 +303,14 @@ def train_autoencoder(
             params = loaded
         print("Loaded from checkpoint. ")
 
-    # Parameter placement. "auto": DP meshes replicate, a mesh with a
-    # "model" axis gets Megatron-style tensor-parallel weight shardings
-    # (parallel/tp.py). "fsdp": ZeRO-3-style sharding of params + Adam
-    # moments over the data axis (parallel/fsdp.py). pjit mode only for
-    # both non-replicated layouts — GSPMD inserts the collectives.
-    if config.param_sharding == "fsdp":
-        if config.parallel_mode != "pjit":
-            raise ValueError("fsdp requires parallel_mode='pjit'")
-        from coati_tpu.parallel.fsdp import shard_params_fsdp as place_params
-    else:
-        from coati_tpu.parallel.tp import shard_params as place_params
+    # Parameter placement policy (parallel/placement.py): "auto" = DP
+    # replication or Megatron TP on a `model` axis; "fsdp" = ZeRO-3
+    # param+moment sharding over the data axis.
+    from coati_tpu.parallel.placement import resolve_placement
 
-        if (
-            config.parallel_mode != "pjit"
-            and "model" in mesh.axis_names
-            and mesh.shape["model"] > 1
-        ):
-            raise ValueError("tensor parallelism requires parallel_mode='pjit'")
+    place_params, commit_opt = resolve_placement(
+        mesh, config.param_sharding, config.parallel_mode
+    )
     params = place_params(mesh, params)
     opt_state = optimizer.init(params)
     start_epoch = 0
@@ -330,7 +320,14 @@ def train_autoencoder(
         try:
             saved_opt = load_model_doc(config.resume_document).get("optimizer")
             if saved_opt is not None:
-                opt_state = jax.tree_util.tree_map(jnp.asarray, saved_opt)
+                # re-commit onto the mesh so TP/FSDP moment shardings
+                # survive the restore (a bare asarray would materialize
+                # the full fp32 moments on one device)
+                opt_state = commit_opt(
+                    mesh,
+                    jax.tree_util.tree_map(jnp.asarray, saved_opt),
+                    opt_state,
+                )
         except Exception as ex:  # noqa: BLE001 - mirror reference tolerance
             print("failed to resume optimizer", ex)
 
@@ -350,19 +347,8 @@ def train_autoencoder(
             if restored is not None:
                 # re-commit onto the mesh: the template's freshly-init'd
                 # opt_state scalars carry single-device placements
-                from coati_tpu.parallel.mesh import commit_to_template
-
                 params = place_params(mesh, restored["params"])
-                if config.param_sharding == "fsdp" or (
-                    "model" in mesh.axis_names and mesh.shape["model"] > 1
-                ):
-                    opt_state = commit_to_template(
-                        mesh, restored["opt_state"], opt_state
-                    )
-                else:
-                    from coati_tpu.parallel.mesh import replicate_params
-
-                    opt_state = replicate_params(mesh, restored["opt_state"])
+                opt_state = commit_opt(mesh, restored["opt_state"], opt_state)
                 n_toks, ngrad_updates, start_epoch, global_step = (
                     int(x) for x in restored["counters"]
                 )

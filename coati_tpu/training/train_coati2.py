@@ -103,6 +103,10 @@ class Coati2TrainConfig:
     resume_document: Optional[str] = None
     orbax_dir: Optional[str] = None
     parallel_mode: str = "pjit"
+    # "auto" (replicate / Megatron TP on a model axis) or "fsdp"
+    # (ZeRO-3 param+moment sharding — the COATI2-grande fp32 moments are
+    # exactly the memory FSDP targets); see parallel/placement.py
+    param_sharding: str = "auto"
 
     def as_dict(self) -> dict:
         return dataclasses.asdict(self)
@@ -295,15 +299,12 @@ def train_coati2(
             params = coati2_params_from_state(model_cfg, sd)
         print("Loaded from checkpoint. ")
 
-    from coati_tpu.parallel.tp import shard_params
+    from coati_tpu.parallel.placement import resolve_placement
 
-    if (
-        config.parallel_mode != "pjit"
-        and "model" in mesh.axis_names
-        and mesh.shape["model"] > 1
-    ):
-        raise ValueError("tensor parallelism requires parallel_mode='pjit'")
-    params = shard_params(mesh, params)
+    place_params, commit_opt = resolve_placement(
+        mesh, config.param_sharding, config.parallel_mode
+    )
+    params = place_params(mesh, params)
     opt_state = optimizer.init(params)
 
     ckpt_mgr = None
@@ -321,10 +322,8 @@ def train_coati2(
             if restored is not None:
                 # re-commit onto the mesh: the template's freshly-init'd
                 # opt_state scalars carry single-device placements
-                from coati_tpu.parallel.tp import commit_opt_state
-
-                params = shard_params(mesh, restored["params"])
-                opt_state = commit_opt_state(mesh, restored["opt_state"], opt_state)
+                params = place_params(mesh, restored["params"])
+                opt_state = commit_opt(mesh, restored["opt_state"], opt_state)
                 n_toks, start_epoch, global_step = (
                     int(x) for x in restored["counters"]
                 )

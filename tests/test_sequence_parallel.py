@@ -139,3 +139,36 @@ def test_sp_encode_matches_single_device():
     enc = make_sp_encode(mesh, cfg, stop)
     got = enc(params, tokens)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_sp_encode_first_stop_and_no_stop_rows():
+    """Rows with several [STOP]s must gather the FIRST (dense argmax
+    semantics); rows with none fall back to position 0 — both matching
+    stop_token_hidden exactly."""
+    cfg = small_cfg()
+    params = init_transformer(jax.random.PRNGKey(1), cfg)
+    stop = 3
+    rng = np.random.default_rng(5)
+    tokens = rng.integers(4, cfg.n_tok, size=(8, cfg.n_seq)).astype(np.int32)
+    tokens[0, [5, 20, 29]] = stop  # stops in multiple shards
+    tokens[1, [12, 13]] = stop  # adjacent stops, same shard
+    tokens[2, 31] = stop  # last position
+    tokens[3, 0] = stop  # first position
+    # rows 4..7: no stop at all -> dense falls back to position 0
+    tokens = jnp.asarray(tokens)
+    hidden = T.forward_hidden(params, cfg, tokens)
+    want = T.stop_token_hidden(hidden, tokens, stop)
+
+    mesh = make_sp_mesh(8, seq=4)
+    got = make_sp_encode(mesh, cfg, stop)(params, tokens)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_sp_rejects_overlong_sequences():
+    cfg = small_cfg()  # n_seq = 32
+    params = init_transformer(jax.random.PRNGKey(0), cfg)
+    mesh = make_sp_mesh(8, seq=4)
+    fwd = make_sp_forward_logits(mesh, cfg)
+    tokens = jnp.zeros((4, 64), jnp.int32)  # divisible by 4 but > n_seq
+    with pytest.raises(AssertionError, match="exceeds cfg.n_seq"):
+        fwd(params, tokens)
