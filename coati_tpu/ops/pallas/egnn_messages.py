@@ -34,9 +34,47 @@ from jax.experimental.pallas import tpu as pltpu
 
 TILE_I = 8
 TILE_J = 128
-TILE_B = 4  # molecules per grid step: keeps the grid coarse (per-step
-# scheduling overhead dominates tiny grids on some TPU runtimes) while
-# (TILE_I * TILE_J, Hm) MLP tiles stay VMEM-resident
+
+# Molecules per grid step. Per-GRID-step scheduling overhead is the
+# dominant cost of this kernel on some TPU runtimes (~130 us/step on the
+# tunneled dev runtime), so the grid is kept as coarse as VMEM allows:
+# the per-molecule work runs in an IN-KERNEL fori_loop, so raising the
+# tile does not unroll the kernel body — compile time stays flat while
+# grid overhead drops linearly. The tile is picked per call from a
+# VMEM budget (the kernels raise Mosaic's scoped-VMEM limit from the
+# 16 MB default via CompilerParams; the pipeline double-buffers every
+# in/out block); override with COATI_EGNN_TILE_B for experiments.
+_VMEM_LIMIT = 64 * 2**20  # raised via CompilerParams (chip VMEM is 128 MB)
+_VMEM_BUDGET = 56 * 2**20  # headroom for Mosaic scratch under the limit
+_TILE_B_CAP = 32
+
+
+def _round_nj(n: int) -> int:
+    """j-rows padding: a single tight j-tile (multiple of 8 sublanes)
+    when n fits one block — padding j to the full 128 would waste 25-33%
+    of the silu/matmul work at the common 96-atom bucket — else
+    TILE_J-aligned so dynamic j-block starts stay lane-aligned."""
+    if n <= TILE_J:
+        return max(8, ((n + 7) // 8) * 8)
+    return ((n + TILE_J - 1) // TILE_J) * TILE_J
+
+
+def _tile_j(nj: int) -> int:
+    return nj if nj <= TILE_J else TILE_J
+
+
+def _pick_tile_b(per_mol_bytes: int, fixed_bytes: int) -> int:
+    import os
+
+    override = os.environ.get("COATI_EGNN_TILE_B")
+    if override:
+        return int(override)
+    # double-buffered pipeline: every per-molecule block lives twice
+    tile = (_VMEM_BUDGET - fixed_bytes) // (2 * per_mol_bytes)
+    tile = max(1, min(_TILE_B_CAP, int(tile)))
+    if tile >= 4:
+        tile -= tile % 4  # keep batch padding modest
+    return tile
 
 
 def _pad_to(x, size, axis):
@@ -62,79 +100,104 @@ def _dsilu(x):
 
 def _fwd_kernel(
     a_ref, c_ref, d2_ref, w_ref, wd_ref, b1_ref, w2_ref, b2_ref, out_ref,
-    *, mm_dtype=jnp.float32,
+    *, mm_dtype=jnp.float32, tile_b=1, tile_j=TILE_J,
 ):
     nj = c_ref.shape[1]
     ni = a_ref.shape[1]
     hm = a_ref.shape[2]
-    for b in range(TILE_B):  # static loops: one coarse grid step per
-        for iblk in range(ni // TILE_I):  # TILE_B molecules
-            a = a_ref[b, pl.ds(iblk * TILE_I, TILE_I), :]  # (TILE_I, Hm)
-            w_rows = w_ref[b, pl.ds(iblk * TILE_I, TILE_I), :]
+    n_iblk = ni // TILE_I
 
-            def body(jblk, acc, b=b, iblk=iblk, a=a):
-                c = c_ref[b, pl.ds(jblk * TILE_J, TILE_J), :]  # (TILE_J, Hm)
-                d2 = d2_ref[
-                    b, pl.ds(iblk * TILE_I, TILE_I), pl.ds(jblk * TILE_J, TILE_J)
-                ]
-                w = w_ref[
-                    b, pl.ds(iblk * TILE_I, TILE_I), pl.ds(jblk * TILE_J, TILE_J)
-                ]
-                z1 = (
-                    a[:, None, :]
-                    + c[None, :, :]
-                    + d2[:, :, None] * wd_ref[0]
-                    + b1_ref[0]
-                )  # (TILE_I, TILE_J, Hm)
-                e1 = _silu(z1).reshape(TILE_I * TILE_J, hm)
-                # mm_dtype=bfloat16 guarantees single-pass MXU matmuls
-                # (measured neutral on v5e where Mosaic already truncates
-                # f32 dot inputs; explicit for toolchains that don't)
-                z2 = (
-                    jnp.dot(
-                        e1.astype(mm_dtype),
-                        w2_ref[:].astype(mm_dtype),
-                        preferred_element_type=jnp.float32,
-                    )
-                    + b2_ref[0]
+    # (b, iblk) as ONE in-kernel fori_loop: the body traces once, so
+    # TILE_B scales the grid down without scaling compile time up
+    def outer(idx, carry):
+        b = idx // n_iblk
+        iblk = idx % n_iblk
+        i0 = iblk * TILE_I
+        a = a_ref[b, pl.ds(i0, TILE_I), :]  # (TILE_I, Hm)
+        w_rows = w_ref[b, pl.ds(i0, TILE_I), :]
+
+        def body(jblk, acc):
+            c = c_ref[b, pl.ds(jblk * tile_j, tile_j), :]  # (tile_j, Hm)
+            d2 = d2_ref[b, pl.ds(i0, TILE_I), pl.ds(jblk * tile_j, tile_j)]
+            w = w_ref[b, pl.ds(i0, TILE_I), pl.ds(jblk * tile_j, tile_j)]
+            z1 = (
+                a[:, None, :]
+                + c[None, :, :]
+                + d2[:, :, None] * wd_ref[0]
+                + b1_ref[0]
+            )  # (TILE_I, tile_j, Hm)
+            e1 = _silu(z1).reshape(TILE_I * tile_j, hm)
+            # mm_dtype=bfloat16 guarantees single-pass MXU matmuls
+            # (measured neutral on v5e where Mosaic already truncates
+            # f32 dot inputs; explicit for toolchains that don't)
+            z2 = (
+                jnp.dot(
+                    e1.astype(mm_dtype),
+                    w2_ref[:].astype(mm_dtype),
+                    preferred_element_type=jnp.float32,
                 )
-                m = _silu(z2).reshape(TILE_I, TILE_J, hm)
-                return acc + jnp.sum(m * w[:, :, None], axis=1)
-
-            # skip i-blocks whose every pair weight is zero — atoms are
-            # packed before padding, so rows past a molecule's atom count
-            # are fully masked and the whole edge-MLP block is dead work
-            # (the kernel is VPU-bound on silu, so skipped blocks are
-            # near-free). The branch is a real scf.if at block level.
-            acc = jax.lax.cond(
-                jnp.max(jnp.abs(w_rows)) > 0.0,
-                lambda body=body: jax.lax.fori_loop(
-                    0, nj // TILE_J, body, jnp.zeros((TILE_I, hm), jnp.float32)
-                ),
-                lambda: jnp.zeros((TILE_I, hm), jnp.float32),
+                + b2_ref[0]
             )
-            out_ref[b, pl.ds(iblk * TILE_I, TILE_I), :] = acc
+            m = _silu(z2).reshape(TILE_I, tile_j, hm)
+            return acc + jnp.sum(m * w[:, :, None], axis=1)
+
+        # skip i-blocks whose every pair weight is zero — atoms are
+        # packed before padding, so rows past a molecule's atom count
+        # are fully masked and the whole edge-MLP block is dead work
+        # (the kernel is VPU-bound on silu, so skipped blocks are
+        # near-free). The branch is a real scf.if at block level.
+        acc = jax.lax.cond(
+            jnp.max(jnp.abs(w_rows)) > 0.0,
+            lambda: jax.lax.fori_loop(
+                0, nj // tile_j, body, jnp.zeros((TILE_I, hm), jnp.float32)
+            ),
+            lambda: jnp.zeros((TILE_I, hm), jnp.float32),
+        )
+        out_ref[b, pl.ds(i0, TILE_I), :] = acc
+        return carry
+
+    jax.lax.fori_loop(0, tile_b * n_iblk, outer, 0)
+
+
+def fwd_tile_b(ni: int, nj: int, hm: int) -> int:
+    """Grid tile for the forward kernel: a/out (ni,hm), c (nj,hm),
+    d2/w (ni,nj) per molecule, f32."""
+    per_mol = 4 * (2 * ni * hm + nj * hm + 2 * ni * nj)
+    fixed = 4 * (3 * TILE_I * TILE_J * hm + hm * hm + 4 * hm)
+    return _pick_tile_b(per_mol, fixed)
+
+
+def bwd_tile_b(ni: int, nj: int, hm: int) -> int:
+    """Backward blocks: a/g/da (ni,hm), c/dc (nj,hm), d2/w (ni,nj),
+    plus z1/e1/dz1-sized temporaries."""
+    per_mol = 4 * (3 * ni * hm + 2 * nj * hm + 2 * ni * nj)
+    fixed = 4 * (5 * TILE_I * TILE_J * hm + 2 * hm * hm + 8 * hm)
+    return _pick_tile_b(per_mol, fixed)
 
 
 def _fwd_pallas(a, c, d2, w, wd, b1, w2, b2, mm_dtype=jnp.float32):
     b_sz, ni, hm = a.shape
     nj = c.shape[1]
-    grid = (b_sz // TILE_B,)
+    tile_b = fwd_tile_b(ni, nj, hm)
+    grid = (b_sz // tile_b,)
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, mm_dtype=mm_dtype),
+        functools.partial(
+            _fwd_kernel, mm_dtype=mm_dtype, tile_b=tile_b, tile_j=_tile_j(nj)
+        ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TILE_B, ni, hm), lambda b: (b, 0, 0)),
-            pl.BlockSpec((TILE_B, nj, hm), lambda b: (b, 0, 0)),
-            pl.BlockSpec((TILE_B, ni, nj), lambda b: (b, 0, 0)),
-            pl.BlockSpec((TILE_B, ni, nj), lambda b: (b, 0, 0)),
+            pl.BlockSpec((tile_b, ni, hm), lambda b: (b, 0, 0)),
+            pl.BlockSpec((tile_b, nj, hm), lambda b: (b, 0, 0)),
+            pl.BlockSpec((tile_b, ni, nj), lambda b: (b, 0, 0)),
+            pl.BlockSpec((tile_b, ni, nj), lambda b: (b, 0, 0)),
             pl.BlockSpec((1, hm), lambda b: (0, 0)),
             pl.BlockSpec((1, hm), lambda b: (0, 0)),
             pl.BlockSpec((hm, hm), lambda b: (0, 0)),
             pl.BlockSpec((1, hm), lambda b: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((TILE_B, ni, hm), lambda b: (b, 0, 0)),
+        out_specs=pl.BlockSpec((tile_b, ni, hm), lambda b: (b, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b_sz, ni, hm), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
     )(a, c, d2, w, wd, b1, w2, b2)
 
 
@@ -152,7 +215,7 @@ def egnn_messages_reference(a, c, d2, w, wd, b1, w2, b2):
 def _bwd_kernel(
     a_ref, c_ref, d2_ref, w_ref, wd_ref, b1_ref, w2_ref, b2_ref, g_ref,
     da_ref, dc_ref, dwd_ref, db1_ref, dw2_ref, db2_ref,
-    *, mm_dtype=jnp.float32,
+    *, mm_dtype=jnp.float32, tile_b=1, tile_j=TILE_J,
 ):
     b_idx = pl.program_id(0)
     nj = c_ref.shape[1]
@@ -167,101 +230,105 @@ def _bwd_kernel(
         db2_ref[:] = jnp.zeros_like(db2_ref)
 
     dc_ref[:] = jnp.zeros_like(dc_ref)
+    n_iblk = ni // TILE_I
 
-    for b in range(TILE_B):
-        for iblk in range(ni // TILE_I):
-            a = a_ref[b, pl.ds(iblk * TILE_I, TILE_I), :]
-            g = g_ref[b, pl.ds(iblk * TILE_I, TILE_I), :]
-            w_rows = w_ref[b, pl.ds(iblk * TILE_I, TILE_I), :]
+    # (b, iblk) as one in-kernel fori_loop — see the forward kernel
+    def outer(idx, carry):
+        b = idx // n_iblk
+        iblk = idx % n_iblk
+        i0 = iblk * TILE_I
+        a = a_ref[b, pl.ds(i0, TILE_I), :]
+        g = g_ref[b, pl.ds(i0, TILE_I), :]
+        w_rows = w_ref[b, pl.ds(i0, TILE_I), :]
 
-            def body(jblk, da_acc, b=b, iblk=iblk, a=a, g=g):
-                c = c_ref[b, pl.ds(jblk * TILE_J, TILE_J), :]
-                d2 = d2_ref[
-                    b, pl.ds(iblk * TILE_I, TILE_I), pl.ds(jblk * TILE_J, TILE_J)
-                ]
-                w = w_ref[
-                    b, pl.ds(iblk * TILE_I, TILE_I), pl.ds(jblk * TILE_J, TILE_J)
-                ]
-                z1 = (
-                    a[:, None, :]
-                    + c[None, :, :]
-                    + d2[:, :, None] * wd_ref[0]
-                    + b1_ref[0]
-                )
-                z1f = z1.reshape(TILE_I * TILE_J, hm)
-                e1 = _silu(z1f)
-                z2 = (
-                    jnp.dot(
-                        e1.astype(mm_dtype),
-                        w2_ref[:].astype(mm_dtype),
-                        preferred_element_type=jnp.float32,
-                    )
-                    + b2_ref[0]
-                )
-                # dm = w_ij * g_i broadcast over j
-                dm = (w[:, :, None] * g[:, None, :]).reshape(TILE_I * TILE_J, hm)
-                dz2 = dm * _dsilu(z2)
-                de1 = jnp.dot(
-                    dz2.astype(mm_dtype),
-                    w2_ref[:].T.astype(mm_dtype),
+        def body(jblk, da_acc):
+            c = c_ref[b, pl.ds(jblk * tile_j, tile_j), :]
+            d2 = d2_ref[b, pl.ds(i0, TILE_I), pl.ds(jblk * tile_j, tile_j)]
+            w = w_ref[b, pl.ds(i0, TILE_I), pl.ds(jblk * tile_j, tile_j)]
+            z1 = (
+                a[:, None, :]
+                + c[None, :, :]
+                + d2[:, :, None] * wd_ref[0]
+                + b1_ref[0]
+            )
+            z1f = z1.reshape(TILE_I * tile_j, hm)
+            e1 = _silu(z1f)
+            z2 = (
+                jnp.dot(
+                    e1.astype(mm_dtype),
+                    w2_ref[:].astype(mm_dtype),
                     preferred_element_type=jnp.float32,
                 )
-                dz1 = de1 * _dsilu(z1f)
-                dz1_3d = dz1.reshape(TILE_I, TILE_J, hm)
-                # parameter grads (accumulated across the sequential grid)
-                dw2_ref[:] += jnp.dot(
-                    e1.T.astype(mm_dtype),
-                    dz2.astype(mm_dtype),
-                    preferred_element_type=jnp.float32,
-                )
-                db2_ref[0] += jnp.sum(dz2, axis=0)
-                db1_ref[0] += jnp.sum(dz1, axis=0)
-                dwd_ref[0] += jnp.sum(
-                    dz1_3d * d2[:, :, None], axis=(0, 1)
-                )
-                # activation grads
-                dc_ref[b, pl.ds(jblk * TILE_J, TILE_J), :] += jnp.sum(dz1_3d, axis=0)
-                return da_acc + jnp.sum(dz1_3d, axis=1)
+                + b2_ref[0]
+            )
+            # dm = w_ij * g_i broadcast over j
+            dm = (w[:, :, None] * g[:, None, :]).reshape(TILE_I * tile_j, hm)
+            dz2 = dm * _dsilu(z2)
+            de1 = jnp.dot(
+                dz2.astype(mm_dtype),
+                w2_ref[:].T.astype(mm_dtype),
+                preferred_element_type=jnp.float32,
+            )
+            dz1 = de1 * _dsilu(z1f)
+            dz1_3d = dz1.reshape(TILE_I, tile_j, hm)
+            # parameter grads (accumulated across the sequential grid)
+            dw2_ref[:] += jnp.dot(
+                e1.T.astype(mm_dtype),
+                dz2.astype(mm_dtype),
+                preferred_element_type=jnp.float32,
+            )
+            db2_ref[0] += jnp.sum(dz2, axis=0)
+            db1_ref[0] += jnp.sum(dz1, axis=0)
+            dwd_ref[0] += jnp.sum(dz1_3d * d2[:, :, None], axis=(0, 1))
+            # activation grads
+            dc_ref[b, pl.ds(jblk * tile_j, tile_j), :] += jnp.sum(dz1_3d, axis=0)
+            return da_acc + jnp.sum(dz1_3d, axis=1)
 
-            # i-block skip (see forward kernel): fully-masked rows have
-            # dm = w*g = 0, so every gradient contribution is zero too
-            live = jnp.max(jnp.abs(w_rows)) > 0.0
+        # i-block skip (see forward kernel): fully-masked rows have
+        # dm = w*g = 0, so every gradient contribution is zero too
+        live = jnp.max(jnp.abs(w_rows)) > 0.0
 
-            @pl.when(live)
-            def _(body=body, b=b, iblk=iblk):
-                da_acc = jax.lax.fori_loop(
-                    0, nj // TILE_J, body, jnp.zeros((TILE_I, hm), jnp.float32)
-                )
-                da_ref[b, pl.ds(iblk * TILE_I, TILE_I), :] = da_acc
+        @pl.when(live)
+        def _():
+            da_acc = jax.lax.fori_loop(
+                0, nj // tile_j, body, jnp.zeros((TILE_I, hm), jnp.float32)
+            )
+            da_ref[b, pl.ds(i0, TILE_I), :] = da_acc
 
-            @pl.when(jnp.logical_not(live))
-            def _(b=b, iblk=iblk):
-                da_ref[b, pl.ds(iblk * TILE_I, TILE_I), :] = jnp.zeros(
-                    (TILE_I, hm), jnp.float32
-                )
+        @pl.when(jnp.logical_not(live))
+        def _():
+            da_ref[b, pl.ds(i0, TILE_I), :] = jnp.zeros(
+                (TILE_I, hm), jnp.float32
+            )
+        return carry
+
+    jax.lax.fori_loop(0, tile_b * n_iblk, outer, 0)
 
 
 def _bwd_pallas(a, c, d2, w, wd, b1, w2, b2, g, mm_dtype=jnp.float32):
     b_sz, ni, hm = a.shape
     nj = c.shape[1]
-    grid = (b_sz // TILE_B,)
+    tile_b = bwd_tile_b(ni, nj, hm)
+    grid = (b_sz // tile_b,)
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, mm_dtype=mm_dtype),
+        functools.partial(
+            _bwd_kernel, mm_dtype=mm_dtype, tile_b=tile_b, tile_j=_tile_j(nj)
+        ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TILE_B, ni, hm), lambda b: (b, 0, 0)),
-            pl.BlockSpec((TILE_B, nj, hm), lambda b: (b, 0, 0)),
-            pl.BlockSpec((TILE_B, ni, nj), lambda b: (b, 0, 0)),
-            pl.BlockSpec((TILE_B, ni, nj), lambda b: (b, 0, 0)),
+            pl.BlockSpec((tile_b, ni, hm), lambda b: (b, 0, 0)),
+            pl.BlockSpec((tile_b, nj, hm), lambda b: (b, 0, 0)),
+            pl.BlockSpec((tile_b, ni, nj), lambda b: (b, 0, 0)),
+            pl.BlockSpec((tile_b, ni, nj), lambda b: (b, 0, 0)),
             pl.BlockSpec((1, hm), lambda b: (0, 0)),
             pl.BlockSpec((1, hm), lambda b: (0, 0)),
             pl.BlockSpec((hm, hm), lambda b: (0, 0)),
             pl.BlockSpec((1, hm), lambda b: (0, 0)),
-            pl.BlockSpec((TILE_B, ni, hm), lambda b: (b, 0, 0)),
+            pl.BlockSpec((tile_b, ni, hm), lambda b: (b, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((TILE_B, ni, hm), lambda b: (b, 0, 0)),  # da
-            pl.BlockSpec((TILE_B, nj, hm), lambda b: (b, 0, 0)),  # dc
+            pl.BlockSpec((tile_b, ni, hm), lambda b: (b, 0, 0)),  # da
+            pl.BlockSpec((tile_b, nj, hm), lambda b: (b, 0, 0)),  # dc
             pl.BlockSpec((1, hm), lambda b: (0, 0)),  # dwd (acc)
             pl.BlockSpec((1, hm), lambda b: (0, 0)),  # db1 (acc)
             pl.BlockSpec((hm, hm), lambda b: (0, 0)),  # dw2 (acc)
@@ -275,6 +342,7 @@ def _bwd_pallas(a, c, d2, w, wd, b1, w2, b2, g, mm_dtype=jnp.float32):
             jax.ShapeDtypeStruct((hm, hm), jnp.float32),
             jax.ShapeDtypeStruct((1, hm), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
     )(a, c, d2, w, wd, b1, w2, b2, g)
 
 
@@ -285,12 +353,15 @@ def _on_tpu() -> bool:
     return jax.default_backend() in ("tpu", "axon")
 
 
-def _pad_all(a, c, d2, w, extra=None):
-    """Pad batch to TILE_B, i-rows to TILE_I, j-rows to TILE_J multiples."""
-    b_sz, n, _ = a.shape
-    bp = ((b_sz + TILE_B - 1) // TILE_B) * TILE_B
+def _pad_all(a, c, d2, w, extra=None, tile_fn=None):
+    """Pad batch to the grid tile, i-rows to TILE_I, j-rows to TILE_J
+    multiples. `tile_fn(ni, nj, hm)` is the per-call grid-tile picker
+    (fwd_tile_b / bwd_tile_b)."""
+    b_sz, n, hm = a.shape
     ni = ((n + TILE_I - 1) // TILE_I) * TILE_I
-    nj = max(TILE_J, ((n + TILE_J - 1) // TILE_J) * TILE_J)
+    nj = _round_nj(n)
+    tile_b = tile_fn(ni, nj, hm)
+    bp = ((b_sz + tile_b - 1) // tile_b) * tile_b
     a_p = _pad_to(_pad_to(a, ni, 1), bp, 0)
     c_p = _pad_to(_pad_to(c, nj, 1), bp, 0)
     d2_p = _pad_to(_pad_to(_pad_to(d2, ni, 1), nj, 2), bp, 0)
@@ -311,7 +382,7 @@ def _make_egnn_messages(mm_dtype):
         b_sz, n, hm = a.shape
         if not _on_tpu() or hm % 128 != 0:
             return egnn_messages_reference(a, c, d2, w, wd, b1, w2, b2)
-        a_p, c_p, d2_p, w_p = _pad_all(a, c, d2, w)
+        a_p, c_p, d2_p, w_p = _pad_all(a, c, d2, w, tile_fn=fwd_tile_b)
         out = _fwd_pallas(
             a_p.astype(jnp.float32),
             c_p.astype(jnp.float32),
@@ -353,7 +424,9 @@ def _make_egnn_messages(mm_dtype):
                 dwd, db1, dw2, db2,
             )
 
-        a_p, c_p, d2_p, w_p, g_p = _pad_all(a, c, d2, w, g.astype(jnp.float32))
+        a_p, c_p, d2_p, w_p, g_p = _pad_all(
+            a, c, d2, w, g.astype(jnp.float32), tile_fn=bwd_tile_b
+        )
         da, dc, dwd, db1, dw2, db2 = _bwd_pallas(
             a_p.astype(jnp.float32),
             c_p.astype(jnp.float32),
