@@ -12,7 +12,8 @@ Prints ONE JSON line to stdout:
   {"metric": ..., "value": N, "unit": "mol/s", "vs_baseline": N}
 Everything else goes to stderr.
 
-Env knobs: BENCH_BATCH (default 512), BENCH_SEQ (default 96),
+Env knobs: BENCH_BATCH (default 1024 — per-step fixed costs amortize
+with batch, see PERF.md), BENCH_SEQ (default 96),
 BENCH_DTYPE (default bfloat16; embeddings keep fp32 parity elsewhere —
 this benchmark measures the production generation path), BENCH_KV
 (default int8 — quality-validated on a trained model,
@@ -171,7 +172,7 @@ def bench_torch_reference(params, cfg, tok, batch: int, n_seq: int):
 
 
 def main():
-    batch = int(os.environ.get("BENCH_BATCH", 512))
+    batch = int(os.environ.get("BENCH_BATCH", 1024))
     n_seq = int(os.environ.get("BENCH_SEQ", 96))
     dtype = os.environ.get("BENCH_DTYPE", "bfloat16")
     ref_batch = int(os.environ.get("BENCH_REF_BATCH", 8))

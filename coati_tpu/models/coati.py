@@ -75,9 +75,13 @@ class CoatiConfig:
     decode_kernel: str = struct.field(pytree_node=False, default="xla")
     # activation rematerialization in backward (see TransformerConfig.remat
     # / EgnnConfig.remat): the EGNN defaults on to bound the (B,N,N,H)
-    # peak; the 256-wide transformer fits without it
+    # peak; trunk remat is a net training WIN even where memory fits
+    # (avoids storing per-layer attention probs, PERF.md) — the grande
+    # recipe turns it on
     remat: bool = struct.field(pytree_node=False, default=False)
     egnn_remat: bool = struct.field(pytree_node=False, default=True)
+    # training-attention softmax dtype (see TransformerConfig.softmax_dtype)
+    softmax_dtype: str = struct.field(pytree_node=False, default="float32")
 
     @property
     def embed_dim(self) -> int:
@@ -99,6 +103,7 @@ class CoatiConfig:
             kv_scale_dtype=self.kv_scale_dtype,
             decode_kernel=self.decode_kernel,
             remat=self.remat,
+            softmax_dtype=self.softmax_dtype,
         )
 
     @property

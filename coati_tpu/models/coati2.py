@@ -53,6 +53,8 @@ class Coati2Config:
     # rematerialize transformer activations in backward (training-only
     # concern; COATI2-grande at 512 width needs it to fit HBM)
     remat: bool = struct.field(pytree_node=False, default=False)
+    # training-attention softmax dtype (see TransformerConfig.softmax_dtype)
+    softmax_dtype: str = struct.field(pytree_node=False, default="float32")
 
     @property
     def xformer_config(self) -> TransformerConfig:
@@ -67,6 +69,7 @@ class Coati2Config:
             dtype=self.dtype,
             precision=self.precision,
             remat=self.remat,
+            softmax_dtype=self.softmax_dtype,
         )
 
 

@@ -73,8 +73,16 @@ class TransformerConfig:
     decode_kernel: str = struct.field(pytree_node=False, default="xla")
     # rematerialize block activations in the backward pass (trades ~30%
     # more forward FLOPs for O(layers) less activation HBM — required for
-    # wide models like COATI2-grande at training batch sizes)
+    # wide models like COATI2-grande at training batch sizes, and a net
+    # WIN for the grande train step even where memory fits: the scan
+    # backward otherwise stores f32 attention probs per layer, PERF.md)
     remat: bool = struct.field(pytree_node=False, default=False)
+    # training-attention softmax dtype: "float32" (oracle parity) or
+    # "compute" (softmax runs in the compute dtype — with bf16 compute
+    # this removes the f32 (B,H,T,T) probs tensor from the fwd AND the
+    # scan-saved residuals; ~0.4% prob error, training-quality neutral
+    # at these seq lengths, -16% trunk fwd+grad; PERF.md)
+    softmax_dtype: str = struct.field(pytree_node=False, default="float32")
 
     @property
     def head_dim(self) -> int:
@@ -87,6 +95,12 @@ class TransformerConfig:
     @property
     def mm_precision(self):
         return matmul_precision(self.precision)
+
+    @property
+    def attn_softmax_dtype(self):
+        if self.softmax_dtype == "compute":
+            return self.compute_dtype
+        return jnp.float32
 
 
 @struct.dataclass
@@ -219,7 +233,9 @@ def _block_full(x, blk: BlockParams, cfg: TransformerConfig, cos, sin):
     # rotary over positions [0, t): cos/sin broadcast (T, Dh) -> (B, T, H, Dh)
     q = apply_rotary(q, cos[:t, None, :], sin[:t, None, :])
     k = apply_rotary(k, cos[:t, None, :], sin[:t, None, :])
-    attn = causal_attention(q, k, v, prec).reshape(b, t, d)
+    attn = causal_attention(
+        q, k, v, prec, softmax_dtype=cfg.attn_softmax_dtype
+    ).reshape(b, t, d)
     x = x + linear(attn, blk.w_proj, blk.b_proj, prec)
 
     y = layer_norm(x, blk.ln2_scale, blk.ln2_bias)

@@ -19,6 +19,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 _NEG_INF = -1e30  # large-negative instead of -inf: keeps softmax NaN-free
 # for fully-masked (padding) rows, matching torch masked_fill + softmax
@@ -31,14 +32,25 @@ def causal_attention(
     k: jnp.ndarray,
     v: jnp.ndarray,
     precision: Optional[jax.lax.Precision] = None,
+    softmax_dtype=jnp.float32,
 ) -> jnp.ndarray:
-    """q, k, v: (B, T, H, Dh) -> (B, T, H, Dh), causal."""
+    """q, k, v: (B, T, H, Dh) -> (B, T, H, Dh), causal.
+
+    softmax_dtype=float32 (default) upcasts scores for an exact softmax
+    (oracle parity). Passing the compute dtype (bf16) keeps the whole
+    (B,H,T,T) probs tensor — and, in training, its scan-saved backward
+    residual — in bf16: ~0.4% prob error, -16% trunk fwd+grad
+    (TransformerConfig.softmax_dtype="compute"; jax.nn.softmax still
+    subtracts the row max, so bf16 exp stays in range)."""
     _, t, _, dh = q.shape
-    scale = 1.0 / jnp.sqrt(jnp.asarray(dh, jnp.float32))
     scores = jnp.einsum("bthd,bshd->bhts", q, k, precision=precision)
-    scores = scores.astype(jnp.float32) * scale
+    scale = jnp.asarray(1.0 / np.sqrt(dh), softmax_dtype)
+    scores = scores.astype(softmax_dtype) * scale
     causal = jnp.tril(jnp.ones((t, t), dtype=bool))
-    scores = jnp.where(causal[None, None, :, :], scores, _NEG_INF)
+    neg = jnp.asarray(
+        _NEG_INF if softmax_dtype == jnp.float32 else -1e4, softmax_dtype
+    )
+    scores = jnp.where(causal[None, None, :, :], scores, neg)
     probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
     return jnp.einsum("bhts,bshd->bthd", probs, v, precision=precision)
 

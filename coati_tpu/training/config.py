@@ -63,6 +63,13 @@ class TrainConfig:
     # step throughput — the fused Pallas message kernel never
     # materializes that tensor and the bf16 residuals fit (PERF.md).
     egnn_remat: bool = True
+    # transformer-trunk backward rematerialization: the scan backward
+    # otherwise stores per-layer attention probs; remat is -23% trunk
+    # fwd+grad at grande scale (PERF.md), so grande turns it ON
+    xformer_remat: bool = False
+    # training-attention softmax dtype: "float32" (parity) | "compute"
+    # (bf16 probs end-to-end, -16% trunk fwd+grad; PERF.md)
+    softmax_dtype: str = "float32"
     weight_decay: float = 0.1
     lr: float = 4e-4
     clip_grad: float = 10.0
@@ -131,6 +138,8 @@ def grande_config(**overrides) -> TrainConfig:
         test_interval=2,
         ngrad_to_save=2e6,
         egnn_remat=False,  # +12% step throughput, see PERF.md
+        xformer_remat=True,  # -23% trunk fwd+grad, see PERF.md
+        softmax_dtype="compute",  # bf16 attention probs, see PERF.md
     )
     for k, v in overrides.items():
         setattr(cfg, k, v)

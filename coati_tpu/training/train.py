@@ -89,6 +89,8 @@ def model_config_from_train_config(config: TrainConfig, n_tok: int) -> CoatiConf
         use_point_encoder=config.do_clip,
         dtype=config.dtype,
         egnn_remat=config.egnn_remat,
+        remat=config.xformer_remat,
+        softmax_dtype=config.softmax_dtype,
     )
 
 

@@ -90,6 +90,9 @@ class Coati2TrainConfig:
     clr_inv_temp: float = 10.0
     do_clr: bool = True
     remat: bool = True  # activation rematerialization in the backward
+    # training-attention softmax dtype ("float32" parity | "compute" =
+    # bf16 probs end-to-end, -16% trunk fwd+grad; PERF.md)
+    softmax_dtype: str = "float32"
 
     # optimizer (reference COATI1 values, train_coati.py:145-152)
     lr: float = 4e-4
@@ -124,6 +127,7 @@ class Coati2TrainConfig:
             biases=self.biases,
             dtype=self.dtype,
             remat=self.remat,
+            softmax_dtype=self.softmax_dtype,
         )
 
     def model_kwargs(self, n_tok: int) -> dict:

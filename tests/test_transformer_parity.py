@@ -143,3 +143,56 @@ def test_param_count_matches_reference_grande_scale():
         x.size for x in jax.tree_util.tree_leaves(params.blocks)
     ) + params.lnf_scale.size + params.lnf_bias.size
     assert abs(block_params - 12.6e6) < 0.2e6
+
+
+def test_remat_is_numerically_exact():
+    """jax.checkpoint recomputes — forward values and grads must be
+    bit-comparable to the non-remat trunk."""
+    import coati_tpu.models.transformer as T
+
+    cfg = TransformerConfig(n_layer=3, n_embd=64, n_head=4, n_seq=32, n_tok=50)
+    params = init_transformer(jax.random.PRNGKey(3), cfg)
+    tokens = jnp.asarray(
+        np.random.default_rng(0).integers(0, 50, size=(4, 32)).astype(np.int32)
+    )
+
+    def loss(p, c):
+        return jnp.sum(T.forward_hidden(p, c, tokens) ** 2)
+
+    l0, g0 = jax.value_and_grad(loss)(params, cfg)
+    l1, g1 = jax.value_and_grad(loss)(params, cfg.replace(remat=True))
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    # recompute changes XLA fusion/summation order, and cancellation in
+    # the LN backward amplifies the low-bit differences on small-entry
+    # tensors — compare against each tensor's own scale at 1% (structural
+    # errors produce O(100%) differences)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        a, b = np.asarray(a), np.asarray(b)
+        tol = 1e-2 * max(np.abs(a).max(), 1e-8)
+        np.testing.assert_allclose(a, b, atol=tol)
+
+
+def test_softmax_compute_dtype_close_to_f32():
+    """softmax_dtype='compute' with bf16 activations must track the
+    f32-softmax bf16 trunk within bf16-scale error, and must leave the
+    f32 path (the parity default) bit-identical."""
+    import coati_tpu.models.transformer as T
+
+    cfg32 = TransformerConfig(n_layer=2, n_embd=64, n_head=4, n_seq=32, n_tok=50)
+    params = init_transformer(jax.random.PRNGKey(4), cfg32)
+    tokens = jnp.asarray(
+        np.random.default_rng(1).integers(0, 50, size=(4, 32)).astype(np.int32)
+    )
+    # f32 compute: "compute" == float32 -> identical
+    out_a = T.forward_hidden(params, cfg32, tokens)
+    out_b = T.forward_hidden(params, cfg32.replace(softmax_dtype="compute"), tokens)
+    np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
+    # bf16 compute: close
+    cfg16 = cfg32.replace(dtype="bfloat16")
+    h32sm = np.asarray(T.forward_hidden(params, cfg16, tokens), np.float32)
+    h16sm = np.asarray(
+        T.forward_hidden(params, cfg16.replace(softmax_dtype="compute"), tokens),
+        np.float32,
+    )
+    scale = np.abs(h32sm).max()
+    assert np.abs(h32sm - h16sm).max() < 0.05 * scale
