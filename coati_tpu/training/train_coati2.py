@@ -90,9 +90,13 @@ class Coati2TrainConfig:
     clr_inv_temp: float = 10.0
     do_clr: bool = True
     remat: bool = True  # activation rematerialization in the backward
-    # training-attention softmax dtype ("float32" parity | "compute" =
-    # bf16 probs end-to-end, -16% trunk fwd+grad; PERF.md)
-    softmax_dtype: str = "float32"
+    # training-attention softmax dtype: "compute" = softmax in the
+    # compute dtype (a no-op under f32; under bf16 it keeps the probs
+    # tensor and its backward residual in bf16, -16% trunk fwd+grad,
+    # PERF.md). The COATI2 recipe is ours (the reference ships inference
+    # only), so the fast path is the default; set "float32" to force
+    # exact softmax.
+    softmax_dtype: str = "compute"
 
     # optimizer (reference COATI1 values, train_coati.py:145-152)
     lr: float = 4e-4
