@@ -41,17 +41,16 @@ from coati_tpu.ops.sampling import sample_top_k
 
 
 def auto_stage_widths(prefill_len: int, total_len: int) -> Optional[tuple]:
-    """Default staged-decode schedule: thirds rounded to 16, so average
-    cache-read width ≈ 2/3 of total (bf16 tie-flips aside, staging is
-    semantically exact — verified in fp32)."""
+    """Default staged-decode schedule: ~6 stages in multiples of 16, so
+    average cache-read width ≈ 7/12 of total. Same-process A/B at
+    B=1024/seq 96 (PERF.md): 6 stages beat thirds (+4.5%) and beat a
+    12-stage schedule (stage-transition copies start to dominate).
+    Staging is semantically exact bar bf16 tie-flips (verified in fp32)."""
     if total_len < 64:
         return None
-    def r16(x):
-        return max(16, (x // 16) * 16)
-    widths = sorted({max(prefill_len + 1, r16(total_len // 3)),
-                     max(prefill_len + 1, r16(2 * total_len // 3)),
-                     total_len})
-    widths = [w for w in widths if w <= total_len]
+    step = max(16, ((total_len + 5) // 6 + 15) // 16 * 16)
+    widths = [w for w in range(step, total_len, step) if w > prefill_len]
+    widths.append(total_len)
     return tuple(widths) if len(widths) > 1 else None
 
 
