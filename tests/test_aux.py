@@ -42,6 +42,17 @@ def test_grande_config_matches_reference_recipe():
     assert cfg.p_clip == 0.9 and cfg.p_randsmiles == 0.3
     d = cfg.as_dict()
     assert d["tokenizer_vocab"] == "mar"
+    # perf defaults (PERF.md journal items 5, 8, 9)
+    assert cfg.egnn_remat is False
+    assert cfg.xformer_remat is True
+    assert cfg.softmax_dtype == "compute"
+
+
+def test_default_config_keeps_parity_numerics():
+    """The plain TrainConfig must stay on the exact-parity paths."""
+    cfg = TrainConfig()
+    assert cfg.softmax_dtype == "float32"
+    assert cfg.xformer_remat is False
 
 
 def test_finite_check_raises():
