@@ -100,6 +100,11 @@ class TransformerConfig:
     def attn_softmax_dtype(self):
         if self.softmax_dtype == "compute":
             return self.compute_dtype
+        if self.softmax_dtype != "float32":
+            raise ValueError(
+                f"softmax_dtype must be 'float32' or 'compute', got "
+                f"{self.softmax_dtype!r}"
+            )
         return jnp.float32
 
 

@@ -63,7 +63,7 @@ def _tile_j(nj: int) -> int:
     return nj if nj <= TILE_J else TILE_J
 
 
-def _pick_tile_b(per_mol_bytes: int, fixed_bytes: int) -> int:
+def _pick_tile_b(per_mol_bytes: int, fixed_bytes: int, b_sz: int) -> int:
     import os
 
     override = os.environ.get("COATI_EGNN_TILE_B")
@@ -72,9 +72,12 @@ def _pick_tile_b(per_mol_bytes: int, fixed_bytes: int) -> int:
     # double-buffered pipeline: every per-molecule block lives twice
     tile = (_VMEM_BUDGET - fixed_bytes) // (2 * per_mol_bytes)
     tile = max(1, min(_TILE_B_CAP, int(tile)))
+    # never stream padding: small batches cap the tile at the next
+    # multiple of 4 (the VMEM budget is an upper bound, not a target)
+    tile = min(tile, ((b_sz + 3) // 4) * 4)
     if tile >= 4:
         tile -= tile % 4  # keep batch padding modest
-    return tile
+    return max(1, tile)
 
 
 def _pad_to(x, size, axis):
@@ -159,26 +162,25 @@ def _fwd_kernel(
     jax.lax.fori_loop(0, tile_b * n_iblk, outer, 0)
 
 
-def fwd_tile_b(ni: int, nj: int, hm: int) -> int:
+def fwd_tile_b(ni: int, nj: int, hm: int, b_sz: int = _TILE_B_CAP) -> int:
     """Grid tile for the forward kernel: a/out (ni,hm), c (nj,hm),
     d2/w (ni,nj) per molecule, f32."""
     per_mol = 4 * (2 * ni * hm + nj * hm + 2 * ni * nj)
     fixed = 4 * (3 * TILE_I * TILE_J * hm + hm * hm + 4 * hm)
-    return _pick_tile_b(per_mol, fixed)
+    return _pick_tile_b(per_mol, fixed, b_sz)
 
 
-def bwd_tile_b(ni: int, nj: int, hm: int) -> int:
+def bwd_tile_b(ni: int, nj: int, hm: int, b_sz: int = _TILE_B_CAP) -> int:
     """Backward blocks: a/g/da (ni,hm), c/dc (nj,hm), d2/w (ni,nj),
     plus z1/e1/dz1-sized temporaries."""
     per_mol = 4 * (3 * ni * hm + 2 * nj * hm + 2 * ni * nj)
     fixed = 4 * (5 * TILE_I * TILE_J * hm + 2 * hm * hm + 8 * hm)
-    return _pick_tile_b(per_mol, fixed)
+    return _pick_tile_b(per_mol, fixed, b_sz)
 
 
-def _fwd_pallas(a, c, d2, w, wd, b1, w2, b2, mm_dtype=jnp.float32):
+def _fwd_pallas(a, c, d2, w, wd, b1, w2, b2, mm_dtype=jnp.float32, tile_b=1):
     b_sz, ni, hm = a.shape
     nj = c.shape[1]
-    tile_b = fwd_tile_b(ni, nj, hm)
     grid = (b_sz // tile_b,)
     return pl.pallas_call(
         functools.partial(
@@ -305,10 +307,9 @@ def _bwd_kernel(
     jax.lax.fori_loop(0, tile_b * n_iblk, outer, 0)
 
 
-def _bwd_pallas(a, c, d2, w, wd, b1, w2, b2, g, mm_dtype=jnp.float32):
+def _bwd_pallas(a, c, d2, w, wd, b1, w2, b2, g, mm_dtype=jnp.float32, tile_b=1):
     b_sz, ni, hm = a.shape
     nj = c.shape[1]
-    tile_b = bwd_tile_b(ni, nj, hm)
     grid = (b_sz // tile_b,)
     return pl.pallas_call(
         functools.partial(
@@ -355,12 +356,14 @@ def _on_tpu() -> bool:
 
 def _pad_all(a, c, d2, w, extra=None, tile_fn=None):
     """Pad batch to the grid tile, i-rows to TILE_I, j-rows to TILE_J
-    multiples. `tile_fn(ni, nj, hm)` is the per-call grid-tile picker
-    (fwd_tile_b / bwd_tile_b)."""
+    multiples. `tile_fn(ni, nj, hm, b_sz)` is the per-call grid-tile
+    picker (fwd_tile_b / bwd_tile_b); the chosen tile is returned as the
+    LAST element so the pallas wrapper uses the same value the batch was
+    padded for."""
     b_sz, n, hm = a.shape
     ni = ((n + TILE_I - 1) // TILE_I) * TILE_I
     nj = _round_nj(n)
-    tile_b = tile_fn(ni, nj, hm)
+    tile_b = tile_fn(ni, nj, hm, b_sz)
     bp = ((b_sz + tile_b - 1) // tile_b) * tile_b
     a_p = _pad_to(_pad_to(a, ni, 1), bp, 0)
     c_p = _pad_to(_pad_to(c, nj, 1), bp, 0)
@@ -369,6 +372,7 @@ def _pad_all(a, c, d2, w, extra=None, tile_fn=None):
     out = [a_p, c_p, d2_p, w_p]
     if extra is not None:
         out.append(_pad_to(_pad_to(extra, ni, 1), bp, 0))
+    out.append(tile_b)
     return out
 
 
@@ -382,7 +386,7 @@ def _make_egnn_messages(mm_dtype):
         b_sz, n, hm = a.shape
         if not _on_tpu() or hm % 128 != 0:
             return egnn_messages_reference(a, c, d2, w, wd, b1, w2, b2)
-        a_p, c_p, d2_p, w_p = _pad_all(a, c, d2, w, tile_fn=fwd_tile_b)
+        a_p, c_p, d2_p, w_p, tile_b = _pad_all(a, c, d2, w, tile_fn=fwd_tile_b)
         out = _fwd_pallas(
             a_p.astype(jnp.float32),
             c_p.astype(jnp.float32),
@@ -393,6 +397,7 @@ def _make_egnn_messages(mm_dtype):
             w2.astype(jnp.float32),
             b2.reshape(1, hm).astype(jnp.float32),
             mm_dtype=mm_dtype,
+            tile_b=tile_b,
         )
         return out[:b_sz, :n].astype(a.dtype)
 
@@ -424,7 +429,7 @@ def _make_egnn_messages(mm_dtype):
                 dwd, db1, dw2, db2,
             )
 
-        a_p, c_p, d2_p, w_p, g_p = _pad_all(
+        a_p, c_p, d2_p, w_p, g_p, tile_b = _pad_all(
             a, c, d2, w, g.astype(jnp.float32), tile_fn=bwd_tile_b
         )
         da, dc, dwd, db1, dw2, db2 = _bwd_pallas(
@@ -438,6 +443,7 @@ def _make_egnn_messages(mm_dtype):
             b2.reshape(1, hm).astype(jnp.float32),
             g_p,
             mm_dtype=mm_dtype,
+            tile_b=tile_b,
         )
         return (
             da[:b_sz, :n].astype(a.dtype),

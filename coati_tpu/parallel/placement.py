@@ -3,10 +3,11 @@
 One place that maps (TrainConfig.param_sharding, parallel_mode, mesh)
 to the placement functions, so the COATI1 and COATI2 trainers cannot
 drift: "auto" replicates on DP meshes and applies Megatron TP specs
-when the mesh has a >1 `model` axis (parallel/tp.py); "fsdp" shards
-params + Adam moments over the data axis (parallel/fsdp.py). Both
-non-replicated layouts require the pjit step formulation (GSPMD inserts
-the collectives)."""
+when the mesh has a >1 `model` axis (parallel/tp.py); "replicated"
+forces full replication even on a TP mesh; "fsdp" shards params + Adam
+moments over the data axis (parallel/fsdp.py). Both non-replicated
+layouts require the pjit step formulation (GSPMD inserts the
+collectives)."""
 
 from __future__ import annotations
 
@@ -24,7 +25,16 @@ def resolve_placement(mesh: Mesh, param_sharding: str, parallel_mode: str):
 
         return shard_params_fsdp, commit_to_template
 
-    if param_sharding not in ("auto", "replicated"):
+    if param_sharding == "replicated":
+        # full replication even on a mesh that has a >1 model axis
+        from coati_tpu.parallel.mesh import replicate_params
+
+        def commit_replicated(mesh, restored, template):
+            return replicate_params(mesh, restored)
+
+        return replicate_params, commit_replicated
+
+    if param_sharding != "auto":
         raise ValueError(f"unknown param_sharding {param_sharding!r}")
     if (
         parallel_mode != "pjit"

@@ -322,14 +322,12 @@ def train_autoencoder(
         try:
             saved_opt = load_model_doc(config.resume_document).get("optimizer")
             if saved_opt is not None:
-                # re-commit onto the mesh so TP/FSDP moment shardings
-                # survive the restore (a bare asarray would materialize
-                # the full fp32 moments on one device)
-                opt_state = commit_opt(
-                    mesh,
-                    jax.tree_util.tree_map(jnp.asarray, saved_opt),
-                    opt_state,
-                )
+                # commit the HOST arrays straight onto the mesh so
+                # TP/FSDP moment shardings apply during the transfer —
+                # an asarray here would materialize the full fp32
+                # moments on one device first, the exact memory spike
+                # FSDP exists to avoid
+                opt_state = commit_opt(mesh, saved_opt, opt_state)
         except Exception as ex:  # noqa: BLE001 - mirror reference tolerance
             print("failed to resume optimizer", ex)
 

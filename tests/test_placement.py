@@ -50,3 +50,23 @@ def test_coati2_trainer_exposes_param_sharding():
     cfg = Coati2TrainConfig(param_sharding="fsdp")
     assert cfg.param_sharding == "fsdp"
     assert "param_sharding" in cfg.as_dict()
+
+
+def test_replicated_forces_replication_on_tp_mesh():
+    """param_sharding='replicated' must fully replicate even when the
+    mesh has a >1 model axis (it is NOT an alias for 'auto')."""
+    mesh = make_tp_mesh(8, model_parallel=2)
+    place, commit = resolve_placement(mesh, "replicated", "pjit")
+    params = {"w": jnp.ones((64, 32))}
+    placed = place(mesh, params)
+    # every shard holds the full array
+    assert placed["w"].addressable_shards[0].data.shape == (64, 32)
+    restored = commit(mesh, jax.device_get(placed), placed)
+    assert restored["w"].addressable_shards[0].data.shape == (64, 32)
+
+
+def test_softmax_dtype_validated():
+    from coati_tpu.models.transformer import TransformerConfig
+
+    with pytest.raises(ValueError, match="softmax_dtype"):
+        _ = TransformerConfig(softmax_dtype="bfloat16").attn_softmax_dtype
