@@ -207,6 +207,7 @@ class COATI:
         inv_temp: float,
         k: int,
         total_len: Optional[int] = None,
+        top_p: Optional[float] = None,
     ) -> np.ndarray:
         h_clip = np.asarray(h_clip, dtype=np.float32)
         if noise_scale > 0:
@@ -237,6 +238,7 @@ class COATI:
             inj_payload=h_token,
             inject_token=tokenizer.unk_token,
             stage_widths=auto_stage_widths(len(prefix), total_len),
+            top_p=top_p,
         )
         return np.asarray(out[:b])
 
@@ -251,8 +253,12 @@ class COATI:
         do_suffix: bool = False,
         keep_special: bool = False,
         return_tokens: bool = False,
+        top_p: Optional[float] = None,
     ):
-        """Decode a batch of hclip vectors to SMILES (clip_e2e.py:544-588)."""
+        """Decode a batch of hclip vectors to SMILES (clip_e2e.py:544-588).
+
+        top_p (beyond-parity): optional nucleus truncation within the
+        top-k candidates (ops/sampling.py); None = reference-exact."""
         suffstr = "[SUFFIX][MIDDLE]" if do_suffix else ""
         toks = self._generate_from_hclip(
             h_clip,
@@ -261,6 +267,7 @@ class COATI:
             noise_scale,
             inv_temp,
             k,
+            top_p=top_p,
         )
         smiles = [tokenizer.decode(list(row), special=keep_special) for row in toks]
         if return_tokens:

@@ -66,6 +66,7 @@ def auto_stage_widths(prefill_len: int, total_len: int) -> Optional[tuple]:
         "inject_token",
         "approx_top_k",
         "stage_widths",
+        "top_p",
     ),
 )
 def generate_tokens(
@@ -85,6 +86,7 @@ def generate_tokens(
     inject_token: Optional[int] = None,
     approx_top_k: bool = True,  # TPU-fast threshold (see ops/sampling.py)
     stage_widths: Optional[tuple] = None,  # staged cache growth, see below
+    top_p: Optional[float] = None,  # nucleus truncation within the top-k
 ) -> jnp.ndarray:
     """Returns (B, total_len) int32 tokens including the prefix.
 
@@ -129,7 +131,8 @@ def generate_tokens(
         pos, tokens, stopped, cache, last_logits = state
         step_rng = jax.random.fold_in(rng, pos)
         sampled = sample_top_k(
-            step_rng, last_logits, k, inv_temp, approx=approx_top_k
+            step_rng, last_logits, k, inv_temp, approx=approx_top_k,
+            top_p=top_p,
         ).astype(jnp.int32)
         sampled = jnp.where(stopped, pad_token, sampled)
         # rows whose own prefix extends past `pos` keep their prefix token

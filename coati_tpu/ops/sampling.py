@@ -30,13 +30,47 @@ def top_k_filter(logits: jnp.ndarray, k: int, approx: bool = False) -> jnp.ndarr
     return jnp.where(logits >= kth, logits, neg_inf)
 
 
+def top_p_filter(
+    logits: jnp.ndarray, top_p: float, k: int, approx: bool = False
+) -> jnp.ndarray:
+    """Nucleus filter over ALREADY top-k-masked logits: mask tokens
+    outside the smallest set whose cumulative probability reaches
+    `top_p` (beyond-parity serving feature; the reference samples pure
+    top-k). The highest-probability token always survives.
+
+    Cost note: a full-vocab sort would re-introduce exactly the decode
+    bottleneck lax.approx_max_k removed (PERF.md journal item 2), so
+    the cumulative mass is computed over the k candidate VALUES only —
+    everything else in the row is already -inf, so softmax over the k
+    extracted values equals softmax over the full row."""
+    if approx:
+        vals = jax.lax.approx_max_k(logits, k)[0]  # (..., k) descending-ish
+        vals = jnp.sort(vals, axis=-1)[..., ::-1]
+    else:
+        vals = jax.lax.top_k(logits, k)[0]
+    probs = jax.nn.softmax(vals, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    # a candidate stays when the mass BEFORE it is still < top_p
+    keep = (cum - probs) < top_p
+    kept_vals = jnp.where(keep, vals, jnp.inf)
+    thresh = jnp.min(kept_vals, axis=-1, keepdims=True)  # >=1 kept always
+    neg_inf = jnp.asarray(-jnp.inf, logits.dtype)
+    return jnp.where(logits >= thresh, logits, neg_inf)
+
+
 def sample_top_k(
     rng: jax.Array,
     logits: jnp.ndarray,
     k: int,
     inv_temp: float,
     approx: bool = False,
+    top_p: float | None = None,
 ) -> jnp.ndarray:
-    """Draw token ids (...,) from the top-k filtered distribution."""
+    """Draw token ids (...,) from the top-k filtered distribution;
+    optional nucleus (top-p) truncation applied within the top-k
+    candidates AFTER temperature, mirroring common serving stacks."""
     filtered = top_k_filter(logits.astype(jnp.float32), k, approx=approx)
-    return jax.random.categorical(rng, filtered * inv_temp, axis=-1)
+    scaled = filtered * inv_temp
+    if top_p is not None and top_p < 1.0:
+        scaled = top_p_filter(scaled, top_p, k, approx=approx)
+    return jax.random.categorical(rng, scaled, axis=-1)

@@ -369,3 +369,56 @@ def test_fused_embed_decode_matches_two_call_path():
 
     np.testing.assert_allclose(fused_h, h, atol=1e-5)
     assert fused_smiles == two_call
+
+
+def test_top_p_filter_matches_bruteforce():
+    """Nucleus mask over top-k-filtered logits equals the brute-force
+    sorted-cumsum definition."""
+    from coati_tpu.ops.sampling import sample_top_k, top_k_filter, top_p_filter
+
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.normal(size=(16, 200)).astype(np.float32) * 3)
+    k, top_p = 50, 0.8
+    filtered = top_k_filter(logits, k)
+    got = np.asarray(top_p_filter(filtered, top_p, k))
+    # brute force per row
+    probs = np.asarray(jax.nn.softmax(filtered, axis=-1))
+    for r in range(probs.shape[0]):
+        order = np.argsort(-probs[r])
+        cum = np.cumsum(probs[r][order])
+        keep = np.zeros_like(probs[r], dtype=bool)
+        before = np.concatenate([[0.0], cum[:-1]])
+        keep[order] = before < top_p
+        assert keep.sum() >= 1
+        finite = np.isfinite(got[r])
+        np.testing.assert_array_equal(finite, keep)
+
+
+def test_top_p_one_is_plain_top_k():
+    from coati_tpu.ops.sampling import sample_top_k
+
+    rng = np.random.default_rng(1)
+    logits = jnp.asarray(rng.normal(size=(8, 120)).astype(np.float32))
+    key = jax.random.PRNGKey(0)
+    a = np.asarray(sample_top_k(key, logits, 40, 2.0, top_p=None))
+    b = np.asarray(sample_top_k(key, logits, 40, 2.0, top_p=1.0))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_generate_with_top_p_runs_and_narrows():
+    """top_p decoding runs through the fused sampler; a tiny top_p
+    collapses sampling to the argmax (different seeds agree)."""
+    from coati_tpu.models.sampler import generate_tokens
+
+    _, params = make_pair(seed=17)
+    b = 6
+    tokens0 = jnp.zeros((b, 24), jnp.int32).at[:, 0].set(5)
+    plen = jnp.full((b,), 1, jnp.int32)
+    import functools
+    g = functools.partial(
+        generate_tokens, prefill_len=1, total_len=24, stop_token=STOP,
+        pad_token=PAD, k=20, inv_temp=1.0, top_p=1e-6,
+    )
+    a = np.asarray(g(params, CFG, jax.random.PRNGKey(5), tokens0, plen))
+    b2 = np.asarray(g(params, CFG, jax.random.PRNGKey(9), tokens0, plen))
+    np.testing.assert_array_equal(a, b2)
