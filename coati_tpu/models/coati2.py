@@ -323,6 +323,7 @@ class COATI2:
         do_suffix: bool = False,
         keep_special: bool = False,
         return_tokens: bool = False,
+        top_p=None,  # beyond-parity nucleus truncation (ops/sampling.py)
     ):
         assert k > 1 or k == 1
         from coati_tpu.models.api import _pad_batch, bucket_size
@@ -358,6 +359,7 @@ class COATI2:
             inj_payload=h_token,
             inject_token=tokenizer.unk_token,
             stage_widths=auto_stage_widths(len(prefix), total_len),
+            top_p=top_p,
         )
         out = np.asarray(out)[:n_real]
         smiles = [tokenizer.decode(list(r), special=keep_special) for r in out]

@@ -87,6 +87,7 @@ class ShardedCOATI:
         k: int = 100,
         do_suffix: bool = False,
         keep_special: bool = False,
+        top_p=None,  # beyond-parity nucleus truncation (ops/sampling.py)
     ):
         h = np.asarray(h_clip, np.float32)
         b = h.shape[0]
@@ -121,6 +122,7 @@ class ShardedCOATI:
             inj_payload=h_token,
             inject_token=tokenizer.unk_token,
             stage_widths=auto_stage_widths(len(prefix), total_len),
+            top_p=top_p,
         )
         out = np.asarray(out)[:b]
         return [tokenizer.decode(list(r), special=keep_special) for r in out]

@@ -12,7 +12,7 @@ Endpoints (all JSON):
       -> {"embeddings": [[...], ...]}   (invalid rows embed as-is; the
                                          tokenizer raises -> 400 with detail)
   POST /generate {"embeddings": [[...]], "k": 100, "inv_temp": 2.0,
-                  "noise_scale": 0.0}
+                  "noise_scale": 0.0, "top_p": null}
       -> {"smiles": [...]}
   POST /analogs  {"smiles": [...], "noise_scale": 0.3, "n_analogs": 4,
                   "k": 100, "inv_temp": 2.0}
@@ -62,16 +62,16 @@ class _ModelFrontend:
             self.model.encode_tokens(tokens, self.tokenizer), np.float32
         )
 
-    def generate(self, h, k, inv_temp, noise_scale):
+    def generate(self, h, k, inv_temp, noise_scale, top_p=None):
         h = np.asarray(h, np.float32)
         if self.is_coati2:
             return self.model.hcoati_to_2d_batch(
                 h, self.tokenizer, noise_scale=noise_scale,
-                inv_temp=inv_temp, k=k,
+                inv_temp=inv_temp, k=k, top_p=top_p,
             )
         return self.model.hclip_to_2d_batch(
             h, self.tokenizer, noise_scale=noise_scale,
-            inv_temp=inv_temp, k=k,
+            inv_temp=inv_temp, k=k, top_p=top_p,
         )
 
 
@@ -130,23 +130,24 @@ class CoatiInferenceServer:
     # compile caches without limit
     MAX_GEN_PROGRAMS = 32
 
-    def _gen_batcher(self, k: int, inv_temp: float):
+    def _gen_batcher(self, k: int, inv_temp: float, top_p=None):
         # noise is applied host-side per request (op_generate), so it is
         # deliberately NOT part of the program/batcher key — every noise
-        # level shares one device program and co-batches
-        key = (int(k), float(inv_temp))
+        # level shares one device program and co-batches. top_p IS part
+        # of the key (it is a compiled constant of the sampler program).
+        key = (int(k), float(inv_temp), None if top_p is None else float(top_p))
         with self._gen_lock:
             if key not in self._gen_batchers:
                 if len(self._gen_batchers) >= self.MAX_GEN_PROGRAMS:
                     raise ValueError(
-                        f"too many distinct (k, inv_temp) configs "
+                        f"too many distinct (k, inv_temp, top_p) configs "
                         f"(> {self.MAX_GEN_PROGRAMS}); reuse existing ones"
                     )
                 fe = self.frontend
 
                 def gen_fn(rows, _key=key):
-                    kk, it = _key
-                    return fe.generate(np.stack(rows), kk, it, 0.0)
+                    kk, it, tp = _key
+                    return fe.generate(np.stack(rows), kk, it, 0.0, top_p=tp)
 
                 self._gen_batchers[key] = MicroBatcher(
                     gen_fn, max_batch=self._max_batch,
@@ -172,7 +173,9 @@ class CoatiInferenceServer:
             h = h + self._noise.normal(scale=noise_scale, size=h.shape).astype(
                 np.float32
             )
-        batcher = self._gen_batcher(body.get("k", 100), body.get("inv_temp", 2.0))
+        batcher = self._gen_batcher(
+            body.get("k", 100), body.get("inv_temp", 2.0), body.get("top_p")
+        )
         futs = [batcher.submit(row) for row in h]
         return {"smiles": [f.result() for f in futs]}
 
