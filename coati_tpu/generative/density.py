@@ -110,13 +110,17 @@ def estimate_density_batchwise(
             if not tokens:
                 continue
             embeds = encoder.encode_tokens(np.asarray(tokens, np.int32), tokenizer)
+            prev_params = params
             params, opt_state, entropy = _density_step(
                 params, opt_state, jnp.asarray(embeds, jnp.float32)
             )
             if verbose:
                 print(f"entropy: {float(entropy):.4f}")
             if float(entropy) < entropy_limit:
-                return _build_density(params)
+                # the entropy was measured on the PRE-step params; the
+                # reference returns that distribution, not the one the
+                # step just produced (coati_density.py:69-76)
+                return _build_density(prev_params)
     return None
 
 

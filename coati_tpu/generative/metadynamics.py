@@ -132,6 +132,7 @@ def run_metadynamics(
                 continue
         valid = uniq
         step_best, step_vec = None, None
+        n_new = 0
         if valid:
             embs = embed_smiles_batch(uniq, encoder, tokenizer)
             scores = [float(objective_fn(jnp.asarray(e))) for e in embs]
@@ -141,6 +142,7 @@ def run_metadynamics(
                     all_smiles.append(s)
                     all_scores.append(sc)
                     all_vectors.append(np.asarray(e))
+                    n_new += 1
                 if sc > best_score:
                     best_score, best_smiles = sc, s
             j = int(np.argmax(scores))
@@ -158,7 +160,11 @@ def run_metadynamics(
             {
                 "step": step,
                 "walker_norm": float(jnp.linalg.norm(v)),
-                "n_new": len(valid),
+                # NEWLY DISCOVERED molecules this step (seen-set
+                # admissions) — a converged walker re-decoding known
+                # molecules reads 0 here, not len(valid)
+                "n_new": n_new,
+                "n_valid": len(valid),
                 "best_smiles": best_smiles,
                 "best_score": best_score,
             }

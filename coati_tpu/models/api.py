@@ -16,6 +16,7 @@ entry point a bounded number of times.
 from __future__ import annotations
 
 import functools
+import threading
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -116,7 +117,7 @@ def fused_round_trip(
     keep_special: bool,
     return_embeddings: bool,
     total_len: Optional[int],
-    noise_rng,
+    noise_fn,  # (scale, shape) -> np.ndarray; thread-safe sampler
     rng,
 ):
     """Shared host-side scaffold for the one-program embed -> decode
@@ -133,9 +134,7 @@ def fused_round_trip(
     tokens0[:, : len(prefix)] = prefix
     noise = np.zeros((tgt, embed_dim), np.float32)
     if noise_scale > 0:
-        noise = noise_rng.normal(scale=noise_scale, size=noise.shape).astype(
-            np.float32
-        )
+        noise = noise_fn(noise_scale, noise.shape)
     h, out = embed_decode_jit(
         params,
         config,
@@ -168,10 +167,19 @@ class COATI:
         self.embed_dim = config.embed_dim
         self._rng = jax.random.PRNGKey(seed)
         self._noise = np.random.default_rng(seed)
+        # the serving layer calls generate from several batcher threads;
+        # the split below is a read-modify-write, and np Generators are
+        # documented not thread-safe
+        self._rng_lock = threading.Lock()
 
     def _next_rng(self) -> jax.Array:
-        self._rng, out = jax.random.split(self._rng)
-        return out
+        with self._rng_lock:
+            self._rng, out = jax.random.split(self._rng)
+            return out
+
+    def _sample_noise(self, scale: float, shape) -> np.ndarray:
+        with self._rng_lock:
+            return self._noise.normal(scale=scale, size=shape).astype(np.float32)
 
     # ------------------------------------------------------------ encode
     def encode_tokens(self, token_indices, tokenizer: TrieTokenizer) -> jnp.ndarray:
@@ -211,9 +219,7 @@ class COATI:
     ) -> np.ndarray:
         h_clip = np.asarray(h_clip, dtype=np.float32)
         if noise_scale > 0:
-            h_clip = h_clip + self._noise.normal(
-                scale=noise_scale, size=h_clip.shape
-            ).astype(np.float32)
+            h_clip = h_clip + self._sample_noise(noise_scale, h_clip.shape)
         b = h_clip.shape[0]
         tgt = bucket_size(b)
         h_token = _clip_to_token_jit(
@@ -314,7 +320,7 @@ class COATI:
             fill_in_from=fill_in_from, noise_scale=noise_scale,
             inv_temp=inv_temp, k=k, keep_special=keep_special,
             return_embeddings=return_embeddings, total_len=total_len,
-            noise_rng=self._noise, rng=self._next_rng(),
+            noise_fn=self._sample_noise, rng=self._next_rng(),
         )
 
     def points_to_2d_batch(

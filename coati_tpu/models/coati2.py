@@ -12,6 +12,8 @@ controlled generation.
 
 from __future__ import annotations
 
+import threading
+
 import functools
 from typing import Optional
 
@@ -287,10 +289,16 @@ class COATI2:
         self.embed_dim = config.embed_dim
         self._rng = jax.random.PRNGKey(seed)
         self._noise = np.random.default_rng(seed)
+        self._rng_lock = threading.Lock()  # serving calls from threads
 
     def _next_rng(self):
-        self._rng, out = jax.random.split(self._rng)
-        return out
+        with self._rng_lock:
+            self._rng, out = jax.random.split(self._rng)
+            return out
+
+    def _sample_noise(self, scale, shape):
+        with self._rng_lock:
+            return self._noise.normal(scale=scale, size=shape).astype(np.float32)
 
     def encode_tokens(self, token_indices, tokenizer: TrieTokenizer) -> jnp.ndarray:
         from coati_tpu.models.api import _pad_batch, bucket_size
@@ -331,9 +339,7 @@ class COATI2:
         h = np.asarray(h_coati, np.float32)
         n_real = h.shape[0]
         if noise_scale > 0:
-            h = h + self._noise.normal(scale=noise_scale, size=h.shape).astype(
-                np.float32
-            )
+            h = h + self._sample_noise(noise_scale, h.shape)
         h = _pad_batch(h, bucket_size(n_real))  # bound jit recompiles
         h_token = _coati_to_token_jit(self.params, self.config, jnp.asarray(h))
         suffstr = "[SUFFIX][MIDDLE]" if do_suffix else ""
@@ -391,7 +397,7 @@ class COATI2:
             fill_in_from=fill_in_from, noise_scale=noise_scale,
             inv_temp=inv_temp, k=k, keep_special=keep_special,
             return_embeddings=return_embeddings, total_len=total_len,
-            noise_rng=self._noise, rng=self._next_rng(),
+            noise_fn=self._sample_noise, rng=self._next_rng(),
         )
 
     def hcoati_to_2d(

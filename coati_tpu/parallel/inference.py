@@ -9,6 +9,8 @@ communication (each row decodes independently).
 
 from __future__ import annotations
 
+import threading
+
 from typing import Optional
 
 import numpy as np
@@ -53,6 +55,7 @@ class ShardedCOATI:
         self._batch_sharding = NamedSharding(mesh, P(axis))
         self._rng = jax.random.PRNGKey(0)
         self._noise = np.random.default_rng(0)
+        self._rng_lock = threading.Lock()  # serving calls from threads
 
     def _shard(self, arr: np.ndarray):
         return jax.device_put(jnp.asarray(arr), self._batch_sharding)
@@ -61,15 +64,19 @@ class ShardedCOATI:
         tokens = np.asarray(token_indices, np.int32)
         b = tokens.shape[0]
         padded = _pad_rows(tokens, self.n_devices)
-        out = jax.jit(
-            F.encode_tokens, static_argnames=("cfg", "stop_token")
-        )(self.params, self.config, self._shard(padded), tokenizer.stop_token)
+        from coati_tpu.models.api import _encode_tokens_jit
+
+        out = _encode_tokens_jit(
+            self.params, self.config, self._shard(padded), tokenizer.stop_token
+        )
         return np.asarray(out)[:b]
 
     def encode_points(self, atoms, coords) -> np.ndarray:
         atoms = np.asarray(atoms)
         b = atoms.shape[0]
-        out = jax.jit(F.encode_points, static_argnames=("cfg",))(
+        from coati_tpu.models.api import _encode_points_jit
+
+        out = _encode_points_jit(
             self.params,
             self.config,
             self._shard(_pad_rows(atoms, self.n_devices)),
@@ -94,11 +101,13 @@ class ShardedCOATI:
         if noise_scale > 0:
             # instance rng advances per call (a fixed reseed would make
             # every call return the identical "noisy" analog set)
-            h = h + self._noise.normal(scale=noise_scale, size=h.shape).astype(
-                np.float32
-            )
+            with self._rng_lock:
+                noise = self._noise.normal(scale=noise_scale, size=h.shape)
+            h = h + noise.astype(np.float32)
         h = _pad_rows(h, self.n_devices)
-        h_token = jax.jit(F.clip_to_special_token)(self.params, self._shard(h))
+        from coati_tpu.models.api import _clip_to_token_jit
+
+        h_token = _clip_to_token_jit(self.params, self.config, self._shard(h))
         suffstr = "[SUFFIX][MIDDLE]" if do_suffix else ""
         prefix = tokenizer.tokenize_text(
             "[CLIP][UNK]" + fill_in_from + suffstr, pad=False
@@ -106,7 +115,8 @@ class ShardedCOATI:
         total_len = self.config.n_seq
         tokens0 = np.zeros((h.shape[0], total_len), np.int32)
         tokens0[:, : len(prefix)] = prefix
-        self._rng, rng = jax.random.split(self._rng)
+        with self._rng_lock:
+            self._rng, rng = jax.random.split(self._rng)
         out = generate_tokens(
             self.params.xformer,
             self.config.xformer_config,

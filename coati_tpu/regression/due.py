@@ -80,9 +80,16 @@ def fc_resnet_apply(
     coeff: float = 0.95,
     dropout_rate: float = 0.0,
     rng: Optional[jax.Array] = None,
+    spectral_first: bool = True,
 ) -> Tuple[jnp.ndarray, FcResNetParams]:
-    """-> (features, params-with-updated-power-iteration-state)."""
-    w0, u0 = _spectral_scale(p.first_w, p.u_first, coeff)
+    """-> (features, params-with-updated-power-iteration-state).
+    spectral_first=False skips the first layer's spectral scaling (the
+    reference's remove_spectral_norm strips exactly that hook,
+    basic_due.py:179-181; the residual layers keep theirs)."""
+    if spectral_first:
+        w0, u0 = _spectral_scale(p.first_w, p.u_first, coeff)
+    else:
+        w0, u0 = p.first_w, p.u_first
     h = x @ w0 + p.first_b
     new_u = []
     for i in range(p.res_w.shape[0]):
@@ -174,6 +181,9 @@ class DueConfig:
     coeff: float = 0.95
     dropout_rate: float = 0.03
     lr: float = 1e-3
+    # False after remove_spectral_norm: the first layer's weight carries
+    # its folded spectral scale and is applied as a plain linear map
+    spectral_first: bool = True
 
 
 class DueModel:
@@ -190,7 +200,10 @@ class DueModel:
         means, stds = [], []
         for i in range(0, len(x), batch_size):
             xb = jnp.asarray(x[i : i + batch_size], jnp.float32)
-            feats, _ = fc_resnet_apply(self.params.net, xb, self.config.coeff)
+            feats, _ = fc_resnet_apply(
+                self.params.net, xb, self.config.coeff,
+                spectral_first=self.config.spectral_first,
+            )
             mean, var = svgp_predict_f(self.params.gp, feats)
             means.append(np.asarray(mean))
             stds.append(np.asarray(jnp.sqrt(var)))
@@ -218,6 +231,23 @@ class DueModel:
         params = jax.tree_util.tree_map(jnp.asarray, blob["params"])
         return cls(params, cfg)
 
+    def remove_spectral_norm(self) -> "DueModel":
+        """Fold the first layer's current spectral scale into its weight
+        and stop re-normalizing it — the reference strips the torch
+        spectral_norm hook from feature_extractor.first so the model is
+        plainly differentiable (basic_due.py:176-181). Predictions are
+        unchanged."""
+        from dataclasses import replace as dc_replace
+
+        w0, u0 = _spectral_scale(
+            self.params.net.first_w, self.params.net.u_first, self.config.coeff
+        )
+        net = self.params.net.replace(first_w=w0, u_first=u0)
+        return DueModel(
+            self.params.replace(net=net),
+            dc_replace(self.config, spectral_first=False),
+        )
+
 
 def _initial_values(x_feats: np.ndarray, n_inducing: int, seed: int = 0):
     """k-means inducing locations + mean-distance lengthscale (the DUE
@@ -228,13 +258,29 @@ def _initial_values(x_feats: np.ndarray, n_inducing: int, seed: int = 0):
     idx = np.random.default_rng(seed).permutation(len(x_feats))[:n]
     sample = np.asarray(x_feats[idx], np.float64)
     centers, _ = kmeans2(sample, n_inducing, minit="points", seed=seed)
-    d = np.sqrt(
-        np.maximum(
-            (sample[:, None] - sample[None, :]) ** 2, 0
-        ).sum(-1)
-    )
-    lengthscale = float(np.mean(d))
+    # mean pairwise distance via the gram identity |x-y|^2 =
+    # |x|^2 + |y|^2 - 2xy — the naive (n, n, F) broadcast is ~2 GB at
+    # the default 1000x256 sample
+    sq = np.sum(sample**2, axis=1)
+    d2 = np.maximum(sq[:, None] + sq[None, :] - 2.0 * (sample @ sample.T), 0.0)
+    lengthscale = float(np.mean(np.sqrt(d2)))
     return centers.astype(np.float32), max(lengthscale, 1e-2)
+
+
+def _squeeze_targets(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """-> (N,) float targets; the SVGP is single-output, so multi-target
+    label stacks are rejected loudly instead of mis-training."""
+    y = np.asarray(y, np.float32)
+    if y.ndim == 2 and y.shape[1] == 1:
+        y = y[:, 0]
+    if y.ndim != 1:
+        raise ValueError(
+            f"train_due fits a single-output GP; got targets of shape "
+            f"{y.shape} — train one model per target"
+        )
+    if len(y) != len(x):
+        raise ValueError(f"x/y length mismatch: {len(x)} vs {len(y)}")
+    return y
 
 
 def train_due(
@@ -245,25 +291,33 @@ def train_due(
     batch_size: int = 512,
     seed: int = 0,
     verbose: bool = True,
+    init_model: Optional[DueModel] = None,
 ) -> DueModel:
-    """Fit a DUE model with the variational ELBO under jit."""
+    """Fit a DUE model with the variational ELBO under jit. Passing
+    `init_model` continues training from its parameters (the reference's
+    load_as + continue_training path, basic_due.py:157-172)."""
     x = np.asarray(x, np.float32)
-    y = np.asarray(y, np.float32).reshape(len(x))
-    config = config or DueConfig(input_dim=x.shape[-1])
+    y = _squeeze_targets(x, y)
     key = jax.random.PRNGKey(seed)
-    net = init_fc_resnet(key, config.input_dim, config.features, config.depth)
-
-    feats0, _ = fc_resnet_apply(net, jnp.asarray(x[:1000]), config.coeff)
-    z0, ls0 = _initial_values(np.asarray(feats0), config.n_inducing, seed)
-    gp = SvgpParams(
-        inducing=jnp.asarray(z0),
-        var_mean=jnp.zeros((config.n_inducing,)),
-        var_chol=jnp.eye(config.n_inducing),
-        log_lengthscale=jnp.asarray(np.log(ls0), jnp.float32),
-        log_outputscale=jnp.zeros(()),
-        log_noise=jnp.asarray(np.log(0.5), jnp.float32),
-    )
-    params = DueParams(net=net, gp=gp)
+    if init_model is not None:
+        config = init_model.config
+        params = init_model.params
+    else:
+        config = config or DueConfig(input_dim=x.shape[-1])
+        net = init_fc_resnet(
+            key, config.input_dim, config.features, config.depth
+        )
+        feats0, _ = fc_resnet_apply(net, jnp.asarray(x[:1000]), config.coeff)
+        z0, ls0 = _initial_values(np.asarray(feats0), config.n_inducing, seed)
+        gp = SvgpParams(
+            inducing=jnp.asarray(z0),
+            var_mean=jnp.zeros((config.n_inducing,)),
+            var_chol=jnp.eye(config.n_inducing),
+            log_lengthscale=jnp.asarray(np.log(ls0), jnp.float32),
+            log_outputscale=jnp.zeros(()),
+            log_noise=jnp.asarray(np.log(0.5), jnp.float32),
+        )
+        params = DueParams(net=net, gp=gp)
     optimizer = optax.adam(config.lr)
     opt_state = optimizer.init(params)
     n_data = len(x)
@@ -272,7 +326,8 @@ def train_due(
     def step(params, opt_state, rng, xb, yb):
         def elbo_loss(p):
             feats, new_net = fc_resnet_apply(
-                p.net, xb, config.coeff, config.dropout_rate, rng
+                p.net, xb, config.coeff, config.dropout_rate, rng,
+                spectral_first=config.spectral_first,
             )
             mean, var = svgp_predict_f(p.gp, feats)
             noise = jnp.exp(p.gp.log_noise)
@@ -343,10 +398,10 @@ def basic_due(
     if load_as is not None:
         model = DueModel.load(load_as)
         if continue_training:
+            # continue from the LOADED parameters (basic_due.py:157-172)
             model = train_due(
-                x[train_idx], y[train_idx],
-                config=model.config, steps=total_steps,
-                batch_size=batch_size, seed=random_seed,
+                x[train_idx], y[train_idx], steps=total_steps,
+                batch_size=batch_size, seed=random_seed, init_model=model,
             )
             model.save(save_as)
     else:
@@ -357,6 +412,9 @@ def basic_due(
             batch_size=batch_size, seed=random_seed,
         )
         model.save(save_as)
+
+    if remove_spectral_norm:
+        model = model.remove_spectral_norm()
 
     mean, std = model.predict(x[test_idx])
     return model, (y[test_idx], mean, std)

@@ -117,6 +117,7 @@ class CoatiInferenceServer:
             name="embed-batcher",
         )
         self._noise = np.random.default_rng(0)
+        self._noise_lock = threading.Lock()
         # one batcher per (k, inv_temp) tuple (program constants)
         self._gen_batchers: dict = {}
         self._gen_lock = threading.Lock()
@@ -170,9 +171,10 @@ class CoatiInferenceServer:
             )
         noise_scale = float(body.get("noise_scale", 0.0))
         if noise_scale > 0:
-            h = h + self._noise.normal(scale=noise_scale, size=h.shape).astype(
-                np.float32
-            )
+            # handler threads share this Generator (not thread-safe)
+            with self._noise_lock:
+                noise = self._noise.normal(scale=noise_scale, size=h.shape)
+            h = h + noise.astype(np.float32)
         batcher = self._gen_batcher(
             body.get("k", 100), body.get("inv_temp", 2.0), body.get("top_p")
         )
@@ -190,6 +192,7 @@ class CoatiInferenceServer:
                 "k": body.get("k", 100),
                 "inv_temp": body.get("inv_temp", 2.0),
                 "noise_scale": body.get("noise_scale", 0.3),
+                "top_p": body.get("top_p"),
             }
         )["smiles"]
         return {
@@ -226,8 +229,12 @@ class CoatiInferenceServer:
         while bucket <= max_bucket:
             t0 = time.perf_counter()
             h = self._warm_embed(bucket)
-            for k, inv_temp in gen_params:
-                self.frontend.generate(h, k, inv_temp, 0.0)
+            for entry in gen_params:
+                # (k, inv_temp) or (k, inv_temp, top_p) — top_p is part
+                # of the program key, so warm it explicitly
+                k, inv_temp, *rest = entry
+                top_p = rest[0] if rest else None
+                self.frontend.generate(h, k, inv_temp, 0.0, top_p=top_p)
             if verbose:
                 print(
                     f"warmup bucket {bucket}: {time.perf_counter() - t0:.1f}s",

@@ -89,3 +89,61 @@ def test_basic_due_signature_and_roundtrip(tmp_path):
     mean1, std1 = model.predict(x[:16])
     np.testing.assert_allclose(mean1, mean2, atol=1e-5)
     np.testing.assert_allclose(std1, std2, atol=1e-5)
+
+
+def test_continue_training_uses_loaded_params(tmp_path):
+    """load_as + continue_training must start from the checkpoint, not
+    re-initialize (reference basic_due.py:157-172)."""
+    from coati_tpu.regression.due import DueModel, train_due
+
+    from coati_tpu.regression.due import DueConfig
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(64, 8)).astype(np.float32)
+    y = x[:, 0] * 2.0
+    m0 = train_due(
+        x, y, steps=5, batch_size=32, verbose=False,
+        config=DueConfig(input_dim=8, n_inducing=16, features=16, depth=2),
+    )
+    m1 = train_due(x, y, steps=0, batch_size=32, verbose=False, init_model=m0)
+    # zero extra steps -> identical params (continuation, not re-init)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(m0.params), jax.tree_util.tree_leaves(m1.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_multi_target_rejected():
+    from coati_tpu.regression.due import train_due
+
+    x = np.zeros((16, 4), np.float32)
+    y = np.zeros((16, 2), np.float32)
+    with pytest.raises(ValueError, match="single-output"):
+        train_due(x, y, steps=1, verbose=False)
+    # K=1 column vectors squeeze fine
+    from coati_tpu.regression.due import DueConfig
+
+    train_due(
+        x, np.zeros((16, 1), np.float32), steps=1, verbose=False,
+        config=DueConfig(input_dim=4, n_inducing=8, features=8, depth=1),
+    )
+
+
+def test_remove_spectral_norm_preserves_predictions():
+    from coati_tpu.regression.due import train_due
+
+    from coati_tpu.regression.due import DueConfig
+
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(48, 6)).astype(np.float32)
+    y = x[:, 1]
+    m = train_due(
+        x, y, steps=5, batch_size=24, verbose=False,
+        config=DueConfig(input_dim=6, n_inducing=12, features=16, depth=2),
+    )
+    stripped = m.remove_spectral_norm()
+    assert stripped.config.spectral_first is False
+    a_mean, a_std = m.predict(x)
+    b_mean, b_std = stripped.predict(x)
+    np.testing.assert_allclose(a_mean, b_mean, atol=1e-5)
+    np.testing.assert_allclose(a_std, b_std, atol=1e-5)
