@@ -111,7 +111,9 @@ class COATI_dataset:
 
 def prefetch(iterator: Iterator, depth: int = 4) -> Iterator:
     """Run an iterator in a background thread with a bounded queue so the
-    host pipeline overlaps with device execution."""
+    host pipeline overlaps with device execution. Worker exceptions are
+    re-raised in the consumer — a corrupt shard must fail the epoch, not
+    silently truncate it."""
     q: queue.Queue = queue.Queue(maxsize=depth)
     _END = object()
 
@@ -119,8 +121,9 @@ def prefetch(iterator: Iterator, depth: int = 4) -> Iterator:
         try:
             for item in iterator:
                 q.put(item)
-        finally:
             q.put(_END)
+        except BaseException as ex:  # noqa: BLE001 - forwarded verbatim
+            q.put(ex)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
@@ -128,4 +131,6 @@ def prefetch(iterator: Iterator, depth: int = 4) -> Iterator:
         item = q.get()
         if item is _END:
             break
+        if isinstance(item, BaseException):
+            raise item
         yield item

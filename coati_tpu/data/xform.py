@@ -53,17 +53,22 @@ def clip_ar_xform(
     pad_width_to: int = 16,
     rng: Optional[_random.Random] = None,
     fp_targets: Optional[tuple] = None,
+    canonicalize: bool = True,
 ) -> Dict:
     """fp_targets: optional tuple like (("morgan", 2048),) — computes the
     named fingerprints host-side into batch['fp_<name>'] (the fp-variant
-    xform, clip_fp_e2e.py:21,273-278; requires rdkit)."""
+    xform, clip_fp_e2e.py:21,273-278; requires rdkit).
+    canonicalize=False uses the input strings verbatim — the SELFIES
+    adapter needs this: cached selfies are already canonical
+    (clip_e2e_selfies.py:76) and RDKit would happily parse
+    bracket-atom selfies AS SMILES and rewrite them."""
     assert "smiles" in batch and "atoms" in batch and "coords" in batch
     rng = rng or _random
     n_seq = tokenizer.n_seq
     token_rows, s2s_rows = [], []
 
     for k, smiles_in in enumerate(batch["smiles"]):
-        canonical = canonicalize_or_self(smiles_in)
+        canonical = canonicalize_or_self(smiles_in) if canonicalize else smiles_in
         try:
             reps = ["smiles"]
             if rng.random() < p_dataset:
@@ -164,7 +169,10 @@ def clip_ar_xform(
         width = max(width, 1)
         if pad_width_to:
             width = ((width + pad_width_to - 1) // pad_width_to) * pad_width_to
-        width = min(width, n_seq) if width <= n_seq else width
+        # rows are already length-filtered to <= n_seq, but the rounding
+        # can overshoot it — clamp so the model's rotary tables (length
+        # n_seq) always cover the batch width
+        width = min(width, n_seq)
         out = np.zeros((len(rows), width), np.int32)
         for i, r in enumerate(rows):
             out[i, : len(r)] = r

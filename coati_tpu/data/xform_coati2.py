@@ -250,6 +250,10 @@ def coati2_ar_xform(
         width = max(width, 1)
         if pad_width_to:
             width = ((width + pad_width_to - 1) // pad_width_to) * pad_width_to
+        # clamp the rounded width to the tokenizer/model n_seq: rows are
+        # length-filtered to <= n_seq but rounding can overshoot, and the
+        # model's rotary tables only cover n_seq positions
+        width = min(width, tokenizer.n_seq)
         # pad with the REAL pad id: coati2_12_12's [PAD] is 31, not 0
         # (id 0 is [CHARGE]) — zero-filling would both feed [CHARGE]
         # tokens to the model and leave them unmasked in the loss

@@ -179,12 +179,11 @@ def init_coati(key: jax.Array, cfg: CoatiConfig) -> CoatiParams:
             )
         return ProjParams(w=w, b=b)
 
-    # LN dims follow the reference literally (clip_e2e.py:408-426); all
-    # published configs have n_hidden == embed_dim so they coincide.
+    # REFERENCE QUIRK: the point head LayerNorm is over hidden_nf in
+    # EVERY reference architecture variant (clip_e2e.py:408-426); all
+    # published configs have n_hidden == embed_dim so the dims coincide.
     point_to_clip = (
-        proj(kp, cfg.n_hidden_e3nn, cfg.embed_dim,
-             cfg.n_hidden_e3nn if cfg.old_architecture or not cfg.norm_clips
-             else cfg.n_hidden_e3nn)
+        proj(kp, cfg.n_hidden_e3nn, cfg.embed_dim, cfg.n_hidden_e3nn)
         if cfg.use_point_encoder
         else None
     )

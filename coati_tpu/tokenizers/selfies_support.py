@@ -86,6 +86,10 @@ def clip_ar_xform_selfies(
     return clip_ar_xform(
         sel_batch,
         tokenizer,
+        # cached selfies are used VERBATIM (clip_e2e_selfies.py:76) —
+        # RDKit would parse '[C][C][O]' as bracket-atom SMILES and
+        # rewrite it out of the selfies vocabulary
+        canonicalize=False,
         p_dataset=p_dataset,
         p_formula=p_formula,
         p_fim=p_fim,

@@ -479,9 +479,13 @@ def train_coati2(
     for epoch in range(start_epoch, config.n_epochs):
         opt_state = set_learning_rate(opt_state, cosine_lr(config, epoch))
         do_epoch(epoch, "train")
-        if epoch % config.test_interval == 0 and epoch > 0 and is_main:
+        if epoch % config.test_interval == 0 and epoch > 0:
+            # EVERY process must run the eval epoch — step_eval is a
+            # mesh-wide SPMD program, so gating it on is_main would
+            # leave processes 1..N out of the collectives and deadlock
+            # multi-host runs; only rank 0 records/logs the result.
             test_loss = do_epoch(epoch, "test")
-            if test_loss is None:
+            if test_loss is None or not is_main:
                 continue
             results["epochs"].append(epoch)
             results["losses"].append(test_loss)

@@ -158,3 +158,24 @@ def test_clip_ar_xform_y_next_masks():
     # label for predicting the [UNK] hole and pads must be masked
     assert out["y_next"][0][0] == -1
     assert (out["y_next"][0][out["tokens"][0] == 0] <= 0).all()
+
+
+def test_width_rounding_clamped_to_n_seq():
+    """Rows near n_seq with a non-multiple-of-16 n_seq must not round the
+    batch width past the model's rotary tables."""
+    from coati_tpu.data.xform import clip_ar_xform
+    from coati_tpu.tokenizers import get_vocab
+    from coati_tpu.tokenizers.trie_tokenizer import TrieTokenizer
+
+    tok = TrieTokenizer(n_seq=30, **get_vocab("mar_verysimple"))
+    smiles = ["C" * 26]  # tokenizes to ~28 tokens with [SMILES]/[STOP]
+    batch = {
+        "smiles": smiles,
+        "atoms": np.ones((1, 4), np.int32),
+        "coords": np.zeros((1, 4, 3), np.float32),
+        "source_collection": ["geom_drugs"],
+    }
+    out = clip_ar_xform(dict(batch), tok, p_clip=0.0, p_dataset=0.0,
+                        p_formula=0.0, p_fim=0.0, p_graph=0.0)
+    assert out["tokens"].shape[1] <= 30
+    assert out["raw_tokens"].shape[1] <= 30

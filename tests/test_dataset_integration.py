@@ -86,3 +86,20 @@ def test_partitions_are_disjoint_and_exhaustive(shard_dir):
                 seen[key] = part
     # all three partitions appear for this corpus
     assert set(seen.values()) == {"train", "valid", "test"}
+
+
+def test_prefetch_propagates_worker_exceptions():
+    """A corrupt shard mid-stream must fail the epoch, not silently end
+    it (the worker used to swallow the exception and enqueue _END)."""
+    from coati_tpu.data.dataset import prefetch
+
+    def bad_iter():
+        yield 1
+        yield 2
+        raise RuntimeError("corrupt shard")
+
+    it = prefetch(bad_iter(), depth=2)
+    assert next(it) == 1
+    assert next(it) == 2
+    with pytest.raises(RuntimeError, match="corrupt shard"):
+        next(it)
