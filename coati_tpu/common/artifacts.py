@@ -97,11 +97,32 @@ def copy_bucket_dir_from_s3(s3_path: str, local_dir: str, bucket: str = DEFAULT_
     return os.path.join(local_dir, s3_path)
 
 
+def _download_from_gs(uri: str) -> str:
+    """Cache a gs:// object locally via gcsfs (optional dependency —
+    natural on TPU VMs where artifacts live in GCS buckets)."""
+    try:
+        import gcsfs
+    except ImportError as ex:
+        raise ImportError(
+            "gcsfs is required for gs:// URIs but is not installed. "
+            "Pass a local path or s3:// URI instead, or install gcsfs."
+        ) from ex
+    rel = uri[len("gs://") :]
+    dest = os.path.join(cache_dir(), "gs", rel)
+    if not os.path.exists(dest):
+        makedir(dest, isfile=True)
+        gcsfs.GCSFileSystem(token="anon").get(rel, dest)
+    return dest
+
+
 @contextmanager
 def cache_read(uri_or_path: str, mode: str = "rb"):
-    """Open a local path, file:// URI, or (cached) s3:// URI for reading."""
+    """Open a local path, file:// URI, or (cached) s3:// / gs:// URI
+    for reading."""
     if uri_or_path.startswith("s3://"):
         path = download_from_s3(uri_or_path)
+    elif uri_or_path.startswith("gs://"):
+        path = _download_from_gs(uri_or_path)
     elif uri_or_path.startswith("file://"):
         path = uri_or_path[len("file://") :]
     else:

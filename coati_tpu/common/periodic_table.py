@@ -40,6 +40,11 @@ def XY_ONE_HOT_FULL(atomic_number: int):
     xpos = PERIODIC_TABLE[atomic_number]["xpos"]
     ypos = PERIODIC_TABLE[atomic_number]["ypos"]
     out[xpos] = 1
+    # REFERENCE QUIRK (deliberate divergence): the reference's
+    # XY_ONE_HOT_FULL (periodic_table.py:3912) raises IndexError for
+    # ypos=10 elements (actinides, z=89-103) since 18+10 is out of the
+    # 28-wide vector; no published dataset contains them, so we keep the
+    # xpos bit and drop the y bit instead of crashing.
     if PERIODIC_MAX_X + ypos < N_XY_FEATURES:
         out[PERIODIC_MAX_X + ypos] = 1
     return out

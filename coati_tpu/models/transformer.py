@@ -460,6 +460,12 @@ def decode_step(
     x = x.astype(cfg.compute_dtype)  # (B, D)
 
     quantized = cache.scale is not None
+    if quantized and cfg.decode_kernel == "pallas":
+        raise ValueError(
+            "decode_kernel='pallas' supports non-quantized KV caches only "
+            "(the int8 path reads a separate scale stream); use kv_dtype "
+            "'auto' with the pallas kernel or kv_dtype='int8' with 'xla'"
+        )
     data, scale_arr = cache.data, cache.scale
     blocks = params.blocks
     for layer in range(cfg.n_layer):

@@ -24,10 +24,11 @@ _tried = False
 
 
 def _cache_dir() -> str:
-    base = os.environ.get("COATI_TPU_CACHE_DIR") or os.path.join(
-        os.path.expanduser("~"), ".cache", "coati_tpu"
-    )
-    path = os.path.join(base, "native")
+    # one cache root for the whole package (honors COATI_TPU_CACHE_DIR
+    # and the reference-compatible S3_CACHE_DIR)
+    from coati_tpu.common.artifacts import cache_dir
+
+    path = os.path.join(cache_dir(), "native")
     os.makedirs(path, exist_ok=True)
     return path
 

@@ -32,22 +32,22 @@ def top_k_filter(logits: jnp.ndarray, k: int, approx: bool = False) -> jnp.ndarr
 
 def top_p_filter(
     logits: jnp.ndarray, top_p: float, k: int, approx: bool = False
-) -> jnp.ndarray:
+) -> jnp.ndarray:  # noqa: D401 - approx kept for signature stability
     """Nucleus filter over ALREADY top-k-masked logits: mask tokens
     outside the smallest set whose cumulative probability reaches
     `top_p` (beyond-parity serving feature; the reference samples pure
     top-k). The highest-probability token always survives.
 
-    Cost note: a full-vocab sort would re-introduce exactly the decode
-    bottleneck lax.approx_max_k removed (PERF.md journal item 2), so
-    the cumulative mass is computed over the k candidate VALUES only —
+    The cumulative mass is computed over the k candidate VALUES only —
     everything else in the row is already -inf, so softmax over the k
-    extracted values equals softmax over the full row."""
-    if approx:
-        vals = jax.lax.approx_max_k(logits, k)[0]  # (..., k) descending-ish
-        vals = jnp.sort(vals, axis=-1)[..., ::-1]
-    else:
-        vals = jax.lax.top_k(logits, k)[0]
+    extracted values equals softmax over the full row. This requires an
+    EXACT candidate set: `sample_top_k` switches the threshold filter
+    to exact top-k whenever top_p is active (approx_max_k's recall<1
+    admits extra sub-threshold candidates the value extraction here
+    would miss, silently loosening the nucleus). top_p requests
+    therefore pay the full-sort cost the approx path avoids."""
+    del approx  # candidates must be exact; see docstring
+    vals = jax.lax.top_k(logits, k)[0]
     probs = jax.nn.softmax(vals, axis=-1)
     cum = jnp.cumsum(probs, axis=-1)
     # a candidate stays when the mass BEFORE it is still < top_p
@@ -69,8 +69,12 @@ def sample_top_k(
     """Draw token ids (...,) from the top-k filtered distribution;
     optional nucleus (top-p) truncation applied within the top-k
     candidates AFTER temperature, mirroring common serving stacks."""
-    filtered = top_k_filter(logits.astype(jnp.float32), k, approx=approx)
+    nucleus = top_p is not None and top_p < 1.0
+    # the nucleus filter needs the EXACT candidate set (see top_p_filter)
+    filtered = top_k_filter(
+        logits.astype(jnp.float32), k, approx=approx and not nucleus
+    )
     scaled = filtered * inv_temp
-    if top_p is not None and top_p < 1.0:
-        scaled = top_p_filter(scaled, top_p, k, approx=approx)
+    if nucleus:
+        scaled = top_p_filter(scaled, top_p, k)
     return jax.random.categorical(rng, scaled, axis=-1)

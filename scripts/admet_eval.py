@@ -70,7 +70,9 @@ def evaluate(path: str, x_field: str, y_field: str | None, steps: int, seed: int
         random_seed=seed,
     )
     y_test = np.asarray(y_test, np.float64).reshape(-1)
-    r2 = 1.0 - np.var(y_test - mean) / max(np.var(y_test), 1e-12)
+    # true R^2 (residual SS over total SS) — np.var(y - pred) would
+    # subtract the mean residual and forgive systematic bias
+    r2 = 1.0 - np.mean((y_test - mean) ** 2) / max(np.var(y_test), 1e-12)
     mae = float(np.mean(np.abs(y_test - mean)))
     nll = gaussian_nll(y_test, mean, std)
     print(f"   R^2 {r2:.3f}  MAE {mae:.3f}  NLL {nll:.3f}  (n_test {len(y_test)})")

@@ -42,10 +42,9 @@ def main():
     )
     params = init_coati(jax.random.PRNGKey(0), cfg)
     if dtype == "bfloat16":
-        params = jax.tree_util.tree_map(
-            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
-            params,
-        )
+        from coati_tpu.ops.layers import cast_floats
+
+        params = cast_floats(params, jnp.bfloat16)
     model = COATI(params, cfg)
     print(f"device: {jax.devices()[0]}, grande-scale, seq {seq}, {dtype}")
 

@@ -6,7 +6,9 @@ compares decode quality across cache configurations:
 
   * bf16 KV cache (production default)
   * int8 KV cache (kv_dtype="int8", half the decode bandwidth)
-  * int8 + Pallas masked-read kernel (decode_kernel="pallas")
+  * bf16 + Pallas masked-read kernel (decode_kernel="pallas"; the
+    kernel supports non-quantized caches only — decode_step rejects
+    the int8 combination)
 
 Reported per config: exact round-trip rate (decode(embed(s)) == s) and
 token-level agreement with the fp32 decode. Synthetic corpus of simple
@@ -124,8 +126,8 @@ def main():
         ("bf16+int8kv", {"dtype": "bfloat16", "kv_dtype": "int8"}),
         ("bf16+int8kv+bf16scale", {"dtype": "bfloat16", "kv_dtype": "int8",
                                    "kv_scale_dtype": "bfloat16"}),
-        ("bf16+int8kv+pallas", {"dtype": "bfloat16", "kv_dtype": "int8",
-                                "decode_kernel": "pallas"}),
+        ("bf16+pallas", {"dtype": "bfloat16",
+                         "decode_kernel": "pallas"}),
     ):
         eval_cfg = cfg.replace(**axes)
         p = params
