@@ -98,6 +98,73 @@ def load_ref_clip_e2e():
     return mod
 
 
+def ensure_rdkit_module_stub():
+    """Register a minimal top-level `rdkit` stub (Chem.CanonSmiles
+    identity + silent RDLogger) for reference modules that import rdkit
+    at module scope (e.g. simple_coati2/transformer_only)."""
+    import types
+
+    if "rdkit" not in sys.modules:
+        rdkit = types.ModuleType("rdkit")
+        chem = types.ModuleType("rdkit.Chem")
+        chem.CanonSmiles = lambda s: s
+
+        class _Log:
+            def setLevel(self, *_):
+                pass
+
+        rdlogger = types.SimpleNamespace(
+            DisableLog=lambda *_: None, logger=lambda: _Log(), CRITICAL=0
+        )
+        rdkit.Chem = chem
+        rdkit.RDLogger = rdlogger
+        sys.modules["rdkit"] = rdkit
+        sys.modules["rdkit.Chem"] = chem
+        sys.modules["rdkit.RDLogger"] = rdlogger
+        return
+    rdkit = sys.modules["rdkit"]
+    if not hasattr(rdkit, "RDLogger"):
+        class _Log:
+            def setLevel(self, *_):
+                pass
+
+        rdkit.RDLogger = types.SimpleNamespace(
+            DisableLog=lambda *_: None, logger=lambda: _Log(), CRITICAL=0
+        )
+        sys.modules["rdkit.RDLogger"] = rdkit.RDLogger
+
+
+def load_path(fullname: str, path: str):
+    """Load a reference module by file path under a registered module
+    name (for modules whose siblings import them by that name)."""
+    if fullname in sys.modules:
+        return sys.modules[fullname]
+    spec = importlib.util.spec_from_file_location(fullname, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[fullname] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def load_ref_simple_coati2_transformer_only():
+    """The COATI2 inference module and its two sibling clones, with the
+    rdkit stub (transformer_only imports Chem/RDLogger at module
+    level)."""
+    ensure_rdkit_module_stub()
+    load_path(
+        "coati.models.simple_coati2.basic_transformer",
+        f"{REF}/models/simple_coati2/basic_transformer.py",
+    )
+    load_path(
+        "coati.models.simple_coati2.smiles_xformer",
+        f"{REF}/models/simple_coati2/smiles_xformer.py",
+    )
+    return load_path(
+        "coati.models.simple_coati2.transformer_only",
+        f"{REF}/models/simple_coati2/transformer_only.py",
+    )
+
+
 def load_ref_module(fullname: str):
     """Import a reference module through the real coati package (the
     reference's __init__.py files are all empty), with rdkit-touching

@@ -28,8 +28,25 @@ def test_logger_jsonl_schema(tmp_path):
     assert os.path.exists(url)
     logger.stop()
     raw = open(logger.log_file).read()
-    events = json.loads(raw.rstrip(",]") + "]" if raw.endswith(",]") else raw[:-2] + "]")
+    events = parse_logger_file(raw)
     assert events[0]["event"] == "metric"
+
+
+def parse_logger_file(raw: str):
+    """Parse COATILogger's bracket format robustly: '[{e},{e},' while
+    open, '[{e},{e},]' after stop() — strip any trailing ',' / ',]'
+    and close the array."""
+    body = raw.rstrip()
+    while body.endswith(("]", ",")):
+        body = body[:-1].rstrip()
+    return json.loads(body + "]")
+
+
+def test_logger_parse_helper_covers_both_file_states():
+    open_state = '[{"a": 1},{"a": 2},'
+    stopped_state = '[{"a": 1},{"a": 2},]'
+    assert parse_logger_file(open_state) == [{"a": 1}, {"a": 2}]
+    assert parse_logger_file(stopped_state) == [{"a": 1}, {"a": 2}]
 
 
 def test_grande_config_matches_reference_recipe():
@@ -87,6 +104,7 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     template = {"w": np.zeros((2, 3), np.float32), "step": np.asarray(0, np.int32)}
     restored = mgr.restore_latest(template)
     np.testing.assert_array_equal(restored["w"], state["w"])
+    assert int(restored["step"]) == 5  # counters must restore, not template
     mgr.close()
 
 

@@ -17,69 +17,14 @@ from coati_tpu.models.io import load_coati2
 from coati_tpu.tokenizers import get_vocab
 from coati_tpu.tokenizers.trie_tokenizer import TrieTokenizer
 
-from .oracle import REF, load
-import importlib.util
-
-
-def _load_ref_transformer_only():
-    # stub rdkit (transformer_only imports Chem/RDLogger at module level)
-    if "rdkit" not in sys.modules:
-        rdkit = types.ModuleType("rdkit")
-        chem = types.ModuleType("rdkit.Chem")
-        chem.CanonSmiles = lambda s: s
-
-        class _Log:
-            def setLevel(self, *_):
-                pass
-
-        rdlogger = types.SimpleNamespace(
-            DisableLog=lambda *_: None, logger=lambda: _Log(), CRITICAL=0
-        )
-        rdkit.Chem = chem
-        rdkit.RDLogger = rdlogger
-        sys.modules["rdkit"] = rdkit
-        sys.modules["rdkit.Chem"] = chem
-        sys.modules["rdkit.RDLogger"] = rdlogger
-    else:
-        rdkit = sys.modules["rdkit"]
-        if not hasattr(rdkit, "RDLogger"):
-            class _Log:
-                def setLevel(self, *_):
-                    pass
-
-            rdkit.RDLogger = types.SimpleNamespace(
-                DisableLog=lambda *_: None, logger=lambda: _Log(), CRITICAL=0
-            )
-            sys.modules["rdkit.RDLogger"] = rdkit.RDLogger
-
-    def load_path(fullname, path):
-        if fullname in sys.modules:
-            return sys.modules[fullname]
-        spec = importlib.util.spec_from_file_location(fullname, path)
-        mod = importlib.util.module_from_spec(spec)
-        sys.modules[fullname] = mod
-        spec.loader.exec_module(mod)
-        return mod
-
-    load_path(
-        "coati.models.simple_coati2.basic_transformer",
-        f"{REF}/models/simple_coati2/basic_transformer.py",
-    )
-    load_path(
-        "coati.models.simple_coati2.smiles_xformer",
-        f"{REF}/models/simple_coati2/smiles_xformer.py",
-    )
-    return load_path(
-        "coati.models.simple_coati2.transformer_only",
-        f"{REF}/models/simple_coati2/transformer_only.py",
-    )
+from .oracle import load_ref_simple_coati2_transformer_only
 
 
 TOK = TrieTokenizer(n_seq=40, **get_vocab("coati2_12_12"))
 
 
 def make_pair(enc_to_coati, seed=0):
-    to = _load_ref_transformer_only()
+    to = load_ref_simple_coati2_transformer_only()
     torch.manual_seed(seed)
     cfg = Coati2Config(
         n_layer_xformer=2,

@@ -65,4 +65,7 @@ def test_batch_smiles_empty_and_oversized():
     assert arr.shape[0] == 0 and bad == []
     long_smiles = "C" * 500
     arr, bad = TOK.batch_smiles(["C", long_smiles], skip_failed=True)
-    assert 1 in bad or arr.shape[0] >= 1
+    # the oversized row is reported in bad_idxs and DROPPED from the
+    # output (kept rows only) — pin both halves of that contract
+    assert bad == [1]
+    assert arr.shape[0] == 1

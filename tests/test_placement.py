@@ -64,9 +64,3 @@ def test_replicated_forces_replication_on_tp_mesh():
     restored = commit(mesh, jax.device_get(placed), placed)
     assert restored["w"].addressable_shards[0].data.shape == (64, 32)
 
-
-def test_softmax_dtype_validated():
-    from coati_tpu.models.transformer import TransformerConfig
-
-    with pytest.raises(ValueError, match="softmax_dtype"):
-        _ = TransformerConfig(softmax_dtype="bfloat16").attn_softmax_dtype

@@ -5,6 +5,7 @@ reference has no serving layer)."""
 import json
 import threading
 import time
+import urllib.error
 import urllib.request
 
 import numpy as np

@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
-from coati_tpu.models.coati import CoatiConfig, init_coati
+from coati_tpu.models.coati import init_coati
 from coati_tpu.parallel.mesh import make_mesh, shard_batch
 from coati_tpu.parallel.tp import (
     commit_opt_state,
@@ -24,49 +24,14 @@ from coati_tpu.parallel.tp import (
 from coati_tpu.tokenizers import get_vocab
 from coati_tpu.tokenizers.trie_tokenizer import TrieTokenizer
 from coati_tpu.training.config import TrainConfig
+
+from .parallel_helpers import synthetic_batch, tiny_cfg
 from coati_tpu.training.train import make_optimizer, make_train_step
 
 
 @pytest.fixture(scope="module")
 def tok():
     return TrieTokenizer(n_seq=32, **get_vocab("mar_verysimple"))
-
-
-def tiny_cfg(tok, n_tok=None):
-    return CoatiConfig(
-        n_layer_e3gnn=1,
-        n_layer_xformer=2,
-        n_hidden_xformer=32,
-        n_hidden_e3nn=16,
-        n_embd_common=32,
-        n_head=2,
-        n_seq=32,
-        n_tok=n_tok or tok.n_token,
-        norm_clips=True,
-        token_mlp=True,
-    )
-
-
-def synthetic_batch(tok, batch=16, width=16, n_atoms=8, seed=0):
-    rng = np.random.default_rng(seed)
-    tokens = rng.integers(
-        len(tok.special_tokens), tok.n_token, size=(batch, width)
-    ).astype(np.int32)
-    tokens[:, 0] = tok.smiles_token
-    tokens[:, -2] = tok.stop_token
-    tokens[:, -1] = tok.pad_token
-    y_next = np.zeros_like(tokens)
-    y_next[:, :-1] = tokens[:, 1:]
-    y_next[y_next == tok.pad_token] = -1
-    atoms = rng.integers(1, 9, size=(batch, n_atoms)).astype(np.int32)
-    coords = rng.normal(size=(batch, n_atoms, 3)).astype(np.float32)
-    return {
-        "raw_tokens": tokens,
-        "tokens": tokens,
-        "y_next": y_next,
-        "atoms": atoms,
-        "coords": coords,
-    }
 
 
 def test_param_specs_rules(tok):

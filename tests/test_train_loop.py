@@ -85,7 +85,7 @@ def test_train_loop_and_resume(tmp_path):
     logger.stop()
 
     # the final 'best' checkpoint was written as a model document
-    docs = glob.glob(os.path.join(config.model_dir, "*"))
+    docs = sorted(glob.glob(os.path.join(config.model_dir, "*")))
     assert docs, "no checkpoint written"
     doc = load_model_doc(docs[-1])
     assert doc["train_args"]["tokenizer_vocab"] == "mar_verysimple"
@@ -97,7 +97,31 @@ def test_train_loop_and_resume(tmp_path):
     model, tok = load_e3gnn_smiles_clip_e2e(docs[-1])
     assert model.embed_dim == 16
 
-    # full resume + optimizer resume
+    # full resume + optimizer resume: with zero training steps the
+    # returned params must BE the document's weights (the resume path
+    # must not silently re-initialize — train_coati.py:159-202)
+    config2 = tiny_config(
+        tmp_path, resume_document=docs[-1], resume_optimizer=True, n_epochs=0
+    )
+    params2, _ = train_autoencoder(
+        config2, TinySyntheticDataset(), logger=None, max_steps_per_epoch=2
+    )
+    doc_state = doc["model"]
+    from coati_tpu.models.io import params_to_state
+
+    resumed_state = params_to_state(params2)
+    checked = 0
+    for key in sorted(doc_state):
+        if doc_state[key] is None or not hasattr(doc_state[key], "shape"):
+            continue
+        np.testing.assert_allclose(
+            np.asarray(resumed_state[key]), np.asarray(doc_state[key]),
+            atol=1e-6,
+        )
+        checked += 1
+        if checked >= 3:
+            break
+    assert checked, "no array leaves compared"
     config2 = tiny_config(
         tmp_path, resume_document=docs[-1], resume_optimizer=True
     )

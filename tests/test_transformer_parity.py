@@ -196,3 +196,12 @@ def test_softmax_compute_dtype_close_to_f32():
     )
     scale = np.abs(h32sm).max()
     assert np.abs(h32sm - h16sm).max() < 0.05 * scale
+
+
+def test_softmax_dtype_validated():
+    """Unknown softmax_dtype values must fail loudly, not silently run
+    the f32 path."""
+    import pytest
+
+    with pytest.raises(ValueError, match="softmax_dtype"):
+        _ = TransformerConfig(softmax_dtype="bfloat16").attn_softmax_dtype
