@@ -115,3 +115,31 @@ def test_graft_entry_points():
     loss = jax.jit(fn)(*args)
     assert np.isfinite(float(loss))
     g.dryrun_multichip(8)
+
+
+def test_dryrun_multichip_bare_invocation():
+    """Driver-faithful check: invoke dryrun_multichip in a CLEAN subprocess
+    with no mesh provisioning (no conftest, no env vars) — it must
+    self-provision the virtual 8-device CPU mesh. Round-1 regression: the
+    in-pytest call above can never catch this because conftest has already
+    provisioned the mesh (MULTICHIP_r01.json ok:false)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "_COATI_DRYRUN_SUBPROCESS")
+    }
+    env["PYTHONPATH"] = repo
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+        env=env, cwd=repo, capture_output=True, text=True, timeout=1200,
+    )
+    assert out.returncode == 0, f"stderr:\n{out.stderr[-4000:]}"
+    for strategy in ("dp x tp OK", "fsdp OK", "dp x pp OK", "dp x sp OK",
+                     "dp x ep OK"):
+        assert strategy in out.stdout, out.stdout
