@@ -206,8 +206,14 @@ def due_objective(due_model, scale: float = 1.0):
     params, cfg = due_model.params, due_model.config
 
     def fn(v):
-        feats, _ = fc_resnet_apply(params.net, v[None, :], cfg.coeff)
-        mean, _ = svgp_predict_f(params.gp, feats)
+        feats, _ = fc_resnet_apply(
+            params.net, v[None, :], cfg.coeff,
+            spectral_first=cfg.spectral_first,
+            spectral_residuals=cfg.spectral_residuals,
+        )
+        mean, _ = svgp_predict_f(
+            params.gp, feats, jitter=cfg.jitter, kxx_jitter=cfg.kxx_jitter
+        )
         return scale * mean[0]
 
     return fn

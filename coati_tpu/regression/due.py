@@ -81,11 +81,16 @@ def fc_resnet_apply(
     dropout_rate: float = 0.0,
     rng: Optional[jax.Array] = None,
     spectral_first: bool = True,
+    spectral_residuals: bool = True,
 ) -> Tuple[jnp.ndarray, FcResNetParams]:
     """-> (features, params-with-updated-power-iteration-state).
     spectral_first=False skips the first layer's spectral scaling (the
     reference's remove_spectral_norm strips exactly that hook,
-    basic_due.py:179-181; the residual layers keep theirs)."""
+    basic_due.py:179-181; the residual layers keep theirs).
+    spectral_residuals=False also skips the residual layers' scaling —
+    used by models imported from published torch artifacts, where the
+    eval-time spectral factor is folded into the stored weights
+    (due_import.py)."""
     if spectral_first:
         w0, u0 = _spectral_scale(p.first_w, p.u_first, coeff)
     else:
@@ -93,7 +98,10 @@ def fc_resnet_apply(
     h = x @ w0 + p.first_b
     new_u = []
     for i in range(p.res_w.shape[0]):
-        wi, ui = _spectral_scale(p.res_w[i], p.u_res[i], coeff)
+        if spectral_residuals:
+            wi, ui = _spectral_scale(p.res_w[i], p.u_res[i], coeff)
+        else:
+            wi, ui = p.res_w[i], p.u_res[i]
         new_u.append(ui)
         y = jax.nn.relu(h @ wi + p.res_b[i])
         if dropout_rate > 0 and rng is not None:
@@ -117,42 +125,61 @@ class SvgpParams:
     log_lengthscale: jnp.ndarray
     log_outputscale: jnp.ndarray
     log_noise: jnp.ndarray
+    # constant prior mean (gpytorch ConstantMean — trained in the
+    # reference's GP, basic_due.py via due.dkl.GP); 0 for models trained
+    # here before this field existed
+    mean_const: jnp.ndarray = struct.field(default_factory=lambda: jnp.zeros(()))
 
 
 def rbf_kernel(x1, x2, lengthscale, outputscale):
+    # HIGHEST precision: TPU matmuls default to bf16 inputs, whose ~1e-2
+    # relative error on the cross term exceeds Kzz's smallest eigenvalue
+    # for the published hcaii model — f32 cholesky then NaNs. The kernel
+    # matrices here are tiny (M=60), so full-precision costs nothing.
     d2 = (
         jnp.sum(x1**2, -1)[:, None]
         + jnp.sum(x2**2, -1)[None, :]
-        - 2.0 * x1 @ x2.T
+        - 2.0 * jnp.matmul(x1, x2.T, precision=jax.lax.Precision.HIGHEST)
     )
     return outputscale * jnp.exp(-0.5 * jnp.maximum(d2, 0.0) / lengthscale**2)
 
 
-def svgp_predict_f(p: SvgpParams, feats: jnp.ndarray):
-    """q(f) marginal mean/variance at the given features."""
+def svgp_predict_f(
+    p: SvgpParams,
+    feats: jnp.ndarray,
+    jitter: float = JITTER,
+    kxx_jitter: float = 0.0,
+):
+    """q(f) marginal mean/variance at the given features.
+
+    `jitter` stabilizes the Kzz cholesky; `kxx_jitter` is added to the
+    prior diagonal Kxx (gpytorch's VariationalStrategy adds its
+    jitter_val, 1e-4, to BOTH — converted published models set these to
+    match, models trained here keep the historical 1e-5 / 0 defaults)."""
     ls = jnp.exp(p.log_lengthscale)
     os_ = jnp.exp(p.log_outputscale)
     m = p.inducing.shape[0]
-    kzz = rbf_kernel(p.inducing, p.inducing, ls, os_) + JITTER * jnp.eye(m)
+    kzz = rbf_kernel(p.inducing, p.inducing, ls, os_) + jitter * jnp.eye(m)
     kxz = rbf_kernel(feats, p.inducing, ls, os_)
     lzz = jnp.linalg.cholesky(kzz)
     # A = Kzz^-1 Kzx via triangular solves
     a = jax.scipy.linalg.cho_solve((lzz, True), kxz.T)  # (M, N)
-    mean = a.T @ p.var_mean
+    hi = jax.lax.Precision.HIGHEST
+    mean = jnp.matmul(a.T, p.var_mean, precision=hi) + p.mean_const
     s = jnp.tril(p.var_chol)
-    kxx_diag = os_ * jnp.ones(feats.shape[0])
+    kxx_diag = (os_ + kxx_jitter) * jnp.ones(feats.shape[0])
     var_prior_reduction = jnp.sum(kxz.T * a, axis=0)
-    sa = s.T @ a  # (M, N)
+    sa = jnp.matmul(s.T, a, precision=hi)  # (M, N)
     var = kxx_diag - var_prior_reduction + jnp.sum(sa**2, axis=0)
     return mean, jnp.maximum(var, 1e-10)
 
 
-def svgp_kl(p: SvgpParams):
+def svgp_kl(p: SvgpParams, jitter: float = JITTER):
     """KL(q(u) || p(u)) with p(u) = N(0, Kzz)."""
     ls = jnp.exp(p.log_lengthscale)
     os_ = jnp.exp(p.log_outputscale)
     m = p.inducing.shape[0]
-    kzz = rbf_kernel(p.inducing, p.inducing, ls, os_) + JITTER * jnp.eye(m)
+    kzz = rbf_kernel(p.inducing, p.inducing, ls, os_) + jitter * jnp.eye(m)
     lzz = jnp.linalg.cholesky(kzz)
     s = jnp.tril(p.var_chol)
     # trace term: tr(Kzz^-1 S S^T)
@@ -184,6 +211,13 @@ class DueConfig:
     # False after remove_spectral_norm: the first layer's weight carries
     # its folded spectral scale and is applied as a plain linear map
     spectral_first: bool = True
+    # False for models imported from published torch artifacts: the
+    # eval-time spectral factor is folded into every residual weight
+    spectral_residuals: bool = True
+    # cholesky jitters (see svgp_predict_f); imported gpytorch models
+    # use 1e-4 for both to match VariationalStrategy's jitter_val
+    jitter: float = JITTER
+    kxx_jitter: float = 0.0
 
 
 class DueModel:
@@ -203,8 +237,12 @@ class DueModel:
             feats, _ = fc_resnet_apply(
                 self.params.net, xb, self.config.coeff,
                 spectral_first=self.config.spectral_first,
+                spectral_residuals=self.config.spectral_residuals,
             )
-            mean, var = svgp_predict_f(self.params.gp, feats)
+            mean, var = svgp_predict_f(
+                self.params.gp, feats,
+                jitter=self.config.jitter, kxx_jitter=self.config.kxx_jitter,
+            )
             means.append(np.asarray(mean))
             stds.append(np.asarray(jnp.sqrt(var)))
         return np.concatenate(means), np.concatenate(stds)
@@ -328,15 +366,18 @@ def train_due(
             feats, new_net = fc_resnet_apply(
                 p.net, xb, config.coeff, config.dropout_rate, rng,
                 spectral_first=config.spectral_first,
+                spectral_residuals=config.spectral_residuals,
             )
-            mean, var = svgp_predict_f(p.gp, feats)
+            mean, var = svgp_predict_f(
+                p.gp, feats, jitter=config.jitter, kxx_jitter=config.kxx_jitter
+            )
             noise = jnp.exp(p.gp.log_noise)
             # Gaussian expected log-likelihood (closed form)
             ell = -0.5 * (
                 jnp.log(2 * jnp.pi * noise)
                 + ((yb - mean) ** 2 + var) / noise
             )
-            loss = -(jnp.mean(ell) * n_data - svgp_kl(p.gp)) / n_data
+            loss = -(jnp.mean(ell) * n_data - svgp_kl(p.gp, config.jitter)) / n_data
             return loss, new_net
 
         (loss, new_net), grads = jax.value_and_grad(elbo_loss, has_aux=True)(params)

@@ -27,15 +27,33 @@ from coati_tpu.generative.metadynamics import (
 )
 from coati_tpu.generative.purifications import embed_smiles
 from coati_tpu.models.io import load_e3gnn_smiles_clip_e2e
-from coati_tpu.regression.due import DueModel
+from coati_tpu.regression.due_import import load_due
+
+# the reference ships its trained DUE property models in-tree
+# (examples/metadynamics/due_{qed,logp}_barlow.pt + due_hcaii_barlow_terray.pt);
+# when visible, they are the defaults — .pt artifacts are converted on
+# load (regression/due_import.py), .pkl paths load this framework's own
+# trained models
+_REF_META = "/root/reference/examples/metadynamics"
+
+
+def _default_artifact(name: str):
+    path = os.path.join(_REF_META, name)
+    return path if os.path.exists(path) else None
 
 
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--doc_url", required=True)
     parser.add_argument("--seed_smiles", default="CC(=O)Oc1ccccc1C(=O)O")
-    parser.add_argument("--due_qed", default=None)
-    parser.add_argument("--due_potency", default=None)
+    parser.add_argument(
+        "--due_qed", default=_default_artifact("due_qed_barlow.pt"),
+        help="DUE model (.pt torch artifact or .pkl) for QED",
+    )
+    parser.add_argument(
+        "--due_potency", default=_default_artifact("due_hcaii_barlow_terray.pt"),
+        help="DUE model (.pt torch artifact or .pkl) for potency",
+    )
     parser.add_argument("--steps", type=int, default=50)
     parser.add_argument("--hill_height", type=float, default=1.0)
     parser.add_argument("--hill_width", type=float, default=1.0)
@@ -47,7 +65,7 @@ def main():
     terms, weights = [], []
     for path, weight in ((args.due_qed, 1.0), (args.due_potency, 2.0)):
         if path:
-            terms.append(due_objective(DueModel.load(path)))
+            terms.append(due_objective(load_due(path)))
             weights.append(weight)
     if not terms:
         # without DUE artifacts: stay close to the seed (demo objective)
