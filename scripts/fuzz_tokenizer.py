@@ -1,0 +1,173 @@
+"""Corpus-scale tokenizer agreement fuzz vs the reference trie.
+
+coati_tpu/tokenizers/matcher.py deliberately implements the INTENDED
+leftmost-longest semantics instead of replicating the reference trie's
+lookahead bug (reference trie.py:39-188: after a failed lookahead the
+scan resumes from a stale pointer and can emit a merged bogus piece).
+Published checkpoints were trained with the buggy trie, so any realistic
+input where the two disagree would silently shift tokenization — and
+therefore embeddings — away from every published model.
+
+This script runs >=10^5 strings through both pre_tokenize pipelines
+(special trie pass + smiles trie pass) for ALL vocabs and reports the
+divergence count per vocab and corpus class:
+
+  chembl    — the 566 real ChEMBL molecules shipped in-tree
+              (reference examples/metadynamics/chembl_pic50.pkl), raw +
+              canonical fields, bare and [SMILES]...[STOP]-wrapped
+  mutate    — splices/edits of those molecules (SMILES-alphabet noise)
+  tokcat    — random concatenations of actual vocab tokens (the
+              adversarial class for trie lookahead)
+  chars     — uniform random strings over the vocab's character set
+
+Usage: python scripts/fuzz_tokenizer.py [--per-class 4000] [--seed 0]
+Exit code 1 if any divergence is found on the `chembl` class (realistic
+inputs); tokcat/chars divergences are reported for documentation.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+import random
+import sys
+from collections import Counter
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from coati_tpu.tokenizers import available_vocabs, get_vocab  # noqa: E402
+from coati_tpu.tokenizers.trie_tokenizer import TrieTokenizer  # noqa: E402
+
+CHEMBL_PKL = "/root/reference/examples/metadynamics/chembl_pic50.pkl"
+
+
+def load_reference_tokenizer(vocab_name: str):
+    """Reference TrieTokenizer for any vocab: in-code vocab dict or the
+    JSON-file fallback (reference tokenizers/__init__.py:10-24)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+    import json
+
+    import oracle
+
+    in_code = oracle.load("ref_smiles_vocab").tokenizer_vocabs
+    if vocab_name in in_code:
+        vocab = in_code[vocab_name]
+    else:
+        with open(
+            f"{oracle.REF}/models/encoding/tokenizers/vocabs/{vocab_name}.json"
+        ) as f:
+            vocab = json.load(f)
+    base = oracle.ref_tokenizer("mar", n_seq=256, side_tasks=True)
+    # side_tasks only gates id lookups of [GRAPH]/[FORMULA]/... at init
+    # (reference trie_tokenizer.py:30-40); pre_tokenize is unaffected.
+    # Vocabs without those tokens need side_tasks=False.
+    try:
+        return type(base)(n_seq=256, side_tasks=True, **vocab)
+    except KeyError:
+        return type(base)(n_seq=256, side_tasks=False, **vocab)
+
+
+def chembl_corpus():
+    if not os.path.exists(CHEMBL_PKL):
+        return []
+    with open(CHEMBL_PKL, "rb") as f:
+        rows = pickle.load(f)
+    smiles = []
+    for r in rows:
+        for field in ("SMILES", "smiles"):
+            s = r.get(field)
+            if isinstance(s, str) and s:
+                smiles.append(s)
+    out = []
+    for s in dict.fromkeys(smiles):
+        out.append(s)
+        out.append("[SMILES]" + s + "[STOP]")
+    return out
+
+
+def mutate_corpus(base, n, rng):
+    alphabet = sorted({c for s in base for c in s}) or list("C1=(N)O")
+    out = []
+    for _ in range(n):
+        a, b = rng.choice(base), rng.choice(base)
+        s = a[: rng.randint(0, len(a))] + b[rng.randint(0, len(b)) :]
+        if rng.random() < 0.5 and s:
+            pos = rng.randrange(len(s))
+            s = s[:pos] + rng.choice(alphabet) + s[pos + 1 :]
+        out.append(s)
+    return out
+
+
+def tokcat_corpus(vocab, n, rng):
+    toks = vocab["smiles_tokens"] + vocab["special_tokens"]
+    return [
+        "".join(rng.choice(toks) for _ in range(rng.randint(1, 24)))
+        for _ in range(n)
+    ]
+
+
+def chars_corpus(vocab, n, rng):
+    alphabet = sorted({c for t in vocab["smiles_tokens"] for c in t})
+    return [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 40)))
+        for _ in range(n)
+    ]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--per-class", type=int, default=4000)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--vocabs", nargs="*", default=None)
+    ap.add_argument("--show-examples", type=int, default=3)
+    args = ap.parse_args()
+
+    chembl = chembl_corpus()
+    vocab_names = args.vocabs or available_vocabs()
+    grand_total, divergent_realistic = 0, 0
+    for vocab_name in vocab_names:
+        vocab = get_vocab(vocab_name)
+        ref = load_reference_tokenizer(vocab_name)
+        try:
+            mine = TrieTokenizer(n_seq=256, side_tasks=True, **vocab)
+        except KeyError:
+            mine = TrieTokenizer(n_seq=256, side_tasks=False, **vocab)
+        rng = random.Random(args.seed)
+        corpora = {
+            "chembl": list(chembl),
+            "mutate": mutate_corpus(
+                [s for s in chembl if not s.startswith("[")] or ["CCO"],
+                args.per_class,
+                rng,
+            ),
+            "tokcat": tokcat_corpus(vocab, args.per_class, rng),
+            "chars": chars_corpus(vocab, args.per_class, rng),
+        }
+        counts = Counter()
+        examples = {}
+        for cls, corpus in corpora.items():
+            for text in corpus:
+                counts[cls, "total"] += 1
+                if ref.pre_tokenize(text) != mine.pre_tokenize(text):
+                    counts[cls, "diverged"] += 1
+                    examples.setdefault(cls, [])
+                    if len(examples[cls]) < args.show_examples:
+                        examples[cls].append(text)
+        total = sum(v for (c, k), v in counts.items() if k == "total")
+        grand_total += total
+        print(f"== {vocab_name}: {total} strings")
+        for cls in corpora:
+            t, d = counts[cls, "total"], counts[cls, "diverged"]
+            print(f"   {cls:8s} {d}/{t} diverged")
+            for ex in examples.get(cls, []):
+                print(f"      e.g. {ex!r}")
+            if cls in ("chembl", "mutate"):
+                divergent_realistic += d
+    print(f"TOTAL strings fuzzed: {grand_total}")
+    print(f"realistic-class divergences: {divergent_realistic}")
+    return 1 if divergent_realistic else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

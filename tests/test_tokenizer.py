@@ -94,6 +94,42 @@ def test_matcher_matches_reference_trie_on_real_smiles():
         assert ref.split(smi) == mine.split(smi), smi
 
 
+def test_fuzz_agreement_with_reference():
+    """Seeded subset of scripts/fuzz_tokenizer.py (117,972 strings, zero
+    divergences across all 9 vocabs — PARITY.md): pre_tokenize agreement
+    with the reference TrieTokenizer on real ChEMBL molecules, vocab
+    token concatenations, and random character strings."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "fuzz_tokenizer",
+        os.path.join(
+            os.path.dirname(__file__), "..", "scripts", "fuzz_tokenizer.py"
+        ),
+    )
+    fuzz = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(fuzz)
+
+    chembl = fuzz.chembl_corpus()[:200]
+    for vocab_name in ["mar", "coati2_12_12"]:  # in-code + JSON-file vocab
+        vocab = get_vocab(vocab_name)
+        ref = fuzz.load_reference_tokenizer(vocab_name)
+        mine = make_tokenizer(vocab_name)
+        rng = random.Random(11)
+        corpus = (
+            chembl
+            + fuzz.tokcat_corpus(vocab, 200, rng)
+            + fuzz.chars_corpus(vocab, 200, rng)
+        )
+        assert corpus
+        for text in corpus:
+            assert ref.pre_tokenize(text) == mine.pre_tokenize(text), (
+                vocab_name,
+                text,
+            )
+
+
 def test_matcher_preserves_text():
     m = VocabMatcher(["[CLS]", "ab", "abc", "b"])
     for text in ["", "x", "abcab[CLS]zzb", "[CL", "aabbcc"]:
