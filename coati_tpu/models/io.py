@@ -111,6 +111,14 @@ def load_e3gnn_smiles_clip_e2e(
     tokenizer_vocab = doc["train_args"]["tokenizer_vocab"]
     print(f"Loading tokenizer {tokenizer_vocab} from {doc_url}")
     tokenizer = TrieTokenizer(n_seq=cfg.n_seq, **get_vocab(tokenizer_vocab))
+    if "selfies" in tokenizer_vocab:
+        # selfies documents (e.g. the published selfies_barlow) rebind
+        # pre_tokenize to run selfies.encoder first (reference
+        # io/coati.py:90-92); the selfies package is only required when
+        # the tokenizer is actually used
+        from coati_tpu.tokenizers.selfies_support import to_selfies_tokenizer
+
+        tokenizer = to_selfies_tokenizer(tokenizer)
     if print_debug:
         print("NTokens: ", doc.get("n_toks_processed"))
         print("Model kwargs: ", model_kwargs)
