@@ -152,7 +152,7 @@ def fused_round_trip(
         stage_widths=auto_stage_widths(len(prefix), total_len),
     )
     out = np.asarray(out)[:b0]
-    smiles = [tokenizer.decode(list(r), special=keep_special) for r in out]
+    smiles = tokenizer.decode_batch(out, special=keep_special)
     if return_embeddings:
         return smiles, np.asarray(h)[:b0]
     return smiles
@@ -275,7 +275,7 @@ class COATI:
             k,
             top_p=top_p,
         )
-        smiles = [tokenizer.decode(list(row), special=keep_special) for row in toks]
+        smiles = tokenizer.decode_batch(np.asarray(toks), special=keep_special)
         if return_tokens:
             return smiles, [list(map(int, row)) for row in toks]
         return smiles
@@ -379,10 +379,7 @@ class COATI:
             inv_temp=inv_temp,
         )
         out = np.asarray(out[:b])
-        return [
-            tokenizer.decode(list(row), special=keep_special, de_fim=de_fim)
-            for row in out
-        ]
+        return tokenizer.decode_batch(out, special=keep_special, de_fim=de_fim)
 
     # ------------------------------------------------- fingerprint heads
     def get_fp_pred_v2(self, token_indices, tokenizer: TrieTokenizer, fp_name: str):

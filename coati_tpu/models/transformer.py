@@ -58,9 +58,17 @@ class TransformerConfig:
     dtype: str = struct.field(pytree_node=False, default="float32")
     # matmul precision ("default" fast on MXU, "highest" for parity)
     precision: str = struct.field(pytree_node=False, default="default")
-    # KV-cache storage: "auto" (= compute dtype) or "int8" (per-token,
-    # per-head symmetric quantization — decode is bandwidth-bound on
-    # cache reads, so int8 halves the per-step traffic)
+    # KV-cache storage. Decode is bandwidth-bound on cache reads, so
+    # int8 (per-token, per-head symmetric quantization) halves the
+    # per-step traffic. Values:
+    #   "auto"   — production default: int8 under bfloat16 compute
+    #              (quality-validated on a trained model,
+    #              scripts/eval_int8_decode.py: 100% round-trip and
+    #              token agreement vs fp32), else the compute dtype.
+    #              The pallas decode kernel reads non-quantized caches
+    #              only, so "auto"+pallas resolves to the compute dtype.
+    #   "int8"   — always quantize
+    #   "compute"— always match the compute dtype (no quantization)
     kv_dtype: str = struct.field(pytree_node=False, default="auto")
     # int8-cache scale storage ("float32" | "bfloat16"): scales are
     # (L, 2, B, T, H) and ~20% of int8 decode traffic; bf16 halves that
@@ -95,6 +103,20 @@ class TransformerConfig:
     @property
     def mm_precision(self):
         return matmul_precision(self.precision)
+
+    @property
+    def kv_quantized(self) -> bool:
+        """Whether decode caches store int8 (see kv_dtype)."""
+        if self.kv_dtype == "int8":
+            return True
+        if self.kv_dtype == "compute":
+            return False
+        if self.kv_dtype != "auto":
+            raise ValueError(
+                f"kv_dtype must be 'auto', 'int8' or 'compute', got "
+                f"{self.kv_dtype!r}"
+            )
+        return self.dtype == "bfloat16" and self.decode_kernel != "pallas"
 
     @property
     def attn_softmax_dtype(self):
@@ -355,7 +377,7 @@ def make_empty_cache(
     rather than cfg.n_seq when possible."""
     width = width or cfg.n_seq
     shape = (cfg.n_layer, 2, batch, width, cfg.n_head, cfg.head_dim)
-    if cfg.kv_dtype == "int8":
+    if cfg.kv_quantized:
         scale_dtype = (
             jnp.bfloat16 if cfg.kv_scale_dtype == "bfloat16" else jnp.float32
         )
@@ -464,7 +486,8 @@ def decode_step(
         raise ValueError(
             "decode_kernel='pallas' supports non-quantized KV caches only "
             "(the int8 path reads a separate scale stream); use kv_dtype "
-            "'auto' with the pallas kernel or kv_dtype='int8' with 'xla'"
+            "'auto'/'compute' with the pallas kernel or kv_dtype='int8' "
+            "with 'xla'"
         )
     data, scale_arr = cache.data, cache.scale
     blocks = params.blocks

@@ -51,6 +51,9 @@ class TrieTokenizer:
         self._special_set = set(self.special_tokens)
         self.special_matcher = VocabMatcher(self.special_tokens)
         self.smiles_matcher = VocabMatcher(self.smiles_tokens)
+        # lazy caches for decode_batch
+        self._keys_np: Optional[np.ndarray] = None
+        self._special_lut: Optional[np.ndarray] = None
 
     # ----------------------------------------------------------------- encode
     def pre_tokenize(self, text: str) -> List[str]:
@@ -149,3 +152,58 @@ class TrieTokenizer:
         if special:
             return "".join(strings)
         return "".join(s for s in strings if s not in self._special_set)
+
+    def decode_batch(
+        self,
+        token_rows,
+        special: bool = True,
+        end_at_stop: bool = True,
+        de_fim: bool = True,
+    ) -> List[str]:
+        """Vectorized detokenization of a (B, T) id array -> list of B
+        strings, identical to per-row `decode`. The per-element Python
+        of `decode` costs ~55 ms for a (1024, 96) batch — 11% of the
+        whole embed+decode round trip (PERF.md) — so the lookups and
+        masks run in numpy; rows containing FIM spans (rare in
+        generation output) fall back to the scalar path for the
+        reordering logic."""
+        raw = np.asarray(token_rows)
+        if raw.ndim != 2:
+            raise ValueError(f"decode_batch expects (B, T), got {raw.shape}")
+        if raw.size == 0:
+            return ["" for _ in range(raw.shape[0])]
+        if self._keys_np is None or len(self._keys_np) != self.n_token:
+            self._keys_np = np.asarray(self.keys, dtype=object)
+            lut = np.zeros(self.n_token, bool)
+            lut[: len(self.special_tokens)] = True
+            self._special_lut = lut
+        b, t = raw.shape
+        toks = np.clip(raw, 0, self.n_token - 1)
+        if end_at_stop:
+            is_stop = toks == self.stop_token
+            # row length INCLUDING the stop token (decode keeps it)
+            length = np.where(is_stop.any(1), is_stop.argmax(1) + 1, t)
+        else:
+            length = np.full(b, t)
+        keep = toks > 0
+        if not special:
+            keep &= ~self._special_lut[toks]
+        fim = np.logical_and(
+            (toks == self.suffix_token).any(1), (toks == self.middle_token).any(1)
+        ) if de_fim else np.zeros(b, bool)
+        strings = self._keys_np[toks]
+        out = []
+        for i in range(b):
+            if fim[i]:
+                out.append(
+                    self.decode(
+                        list(raw[i]),
+                        special=special,
+                        end_at_stop=end_at_stop,
+                        de_fim=de_fim,
+                    )
+                )
+            else:
+                row_keep = keep[i, : length[i]]
+                out.append("".join(strings[i, : length[i]][row_keep]))
+        return out

@@ -122,7 +122,9 @@ def main():
     results = {}
     for name, axes in (
         ("fp32", {"dtype": "float32"}),
-        ("bf16", {"dtype": "bfloat16"}),
+        # explicit "compute": a bf16 cache row (kv_dtype="auto" under
+        # bf16 now resolves to int8, the production default)
+        ("bf16", {"dtype": "bfloat16", "kv_dtype": "compute"}),
         ("bf16+int8kv", {"dtype": "bfloat16", "kv_dtype": "int8"}),
         ("bf16+int8kv+bf16scale", {"dtype": "bfloat16", "kv_dtype": "int8",
                                    "kv_scale_dtype": "bfloat16"}),

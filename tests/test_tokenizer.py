@@ -130,6 +130,38 @@ def test_fuzz_agreement_with_reference():
             )
 
 
+def test_decode_batch_matches_scalar_decode():
+    """decode_batch (the vectorized hot path of the generation APIs)
+    must agree with per-row decode on every flag combination, including
+    rows with FIM spans, early stops, pads, and unknown-id clipping."""
+    tok = make_tokenizer("mar", n_seq=32)
+    rng = np.random.default_rng(5)
+    rows = rng.integers(0, tok.n_token, size=(64, 20)).astype(np.int32)
+    rows[::3, 10] = tok.stop_token  # early stop
+    rows[::4, :3] = 0  # leading pads
+    rows[5, 4] = tok.suffix_token  # FIM span rows
+    rows[5, 8] = tok.middle_token
+    rows[5, 12] = tok.stop_token
+    rows[6, 2] = tok.suffix_token
+    rows[6, 3] = tok.middle_token
+    for special in (True, False):
+        for end_at_stop in (True, False):
+            for de_fim in (True, False):
+                want = [
+                    tok.decode(
+                        list(r),
+                        special=special,
+                        end_at_stop=end_at_stop,
+                        de_fim=de_fim,
+                    )
+                    for r in rows
+                ]
+                got = tok.decode_batch(
+                    rows, special=special, end_at_stop=end_at_stop, de_fim=de_fim
+                )
+                assert got == want, (special, end_at_stop, de_fim)
+
+
 def test_matcher_preserves_text():
     m = VocabMatcher(["[CLS]", "ab", "abc", "b"])
     for text in ["", "x", "abcab[CLS]zzb", "[CL", "aabbcc"]:
