@@ -45,6 +45,7 @@ from coati_tpu.models.transformer import (
     _block_full,
     embed_tokens,
     layer_norm,
+    stop_token_hidden,
 )
 from coati_tpu.ops.layers import cast_floats, linear
 from coati_tpu.ops.rotary import rotary_tables
@@ -196,6 +197,164 @@ def make_pp_forward_logits(
             check_vma=False,
         )
     return jax.jit(mapped)
+
+
+def pp_coati_param_specs(params):
+    """PartitionSpecs for the COMPOSITE CoatiParams under DP x PP: the
+    transformer block stack shards its layer axis over `pipe`; the EGNN
+    encoder, projections, token MLP, embedding, final LN and lm_head
+    replicate."""
+    specs = jax.tree_util.tree_map(lambda _: P(), params)
+    return specs.replace(xformer=pp_param_specs(params.xformer))
+
+
+def shard_coati_params_pp(mesh: Mesh, params):
+    n_stages = mesh.shape["pipe"]
+    n_layer = params.xformer.blocks.w_attn.shape[0]
+    assert n_layer % n_stages == 0, (n_layer, n_stages)
+    specs = pp_coati_param_specs(params)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+    )
+
+
+def make_pp_coati_train_step(
+    mesh: Mesh,
+    model_cfg,
+    params_template,
+    optimizer: optax.GradientTransformation,
+    *,
+    stop_token: int,
+    unk_token: int,
+    p_clip_emb_smi: float,
+    token_entropy_unit: float,
+    n_microbatches: int,
+    data_axis: str = "data",
+    pipe_axis: str = "pipe",
+):
+    """DP x PP train step for the FULL COATI model (clip_e2e.py:772-845):
+    EGNN point encoder + both trunk passes + projections + AR and global
+    CLIP losses — the composite step that actually pretrains, not just
+    the bare trunk. (params, opt_state, rng, batch) -> (params,
+    opt_state, metrics); batch = {raw_tokens, tokens, y_next, atoms,
+    coords} sharded over `data`.
+
+    Placement: both trunk passes (clean encode + injected AR) run
+    through the GPipe schedule over `pipe`; the EGNN, projections and
+    token MLP are replicated per stage (parameter-light, compute-cheap
+    next to the trunk). Gradient correctness with redundant per-stage
+    compute: exactly ONE stage's copy of each replicated computation
+    receives cotangent — the embedding where-select masks injection use
+    to stage 0, the AR loss masks to the last stage, and the CLIP term
+    is explicitly masked to stage 0 — so `psum` over `pipe` on
+    replicated leaves sums one real contribution plus zeros. AR loss is
+    the global-valid-token mean and CLIP is over the `data`-gathered
+    batch, matching the pjit train step exactly (equality-tested)."""
+    n_stages = mesh.shape[pipe_axis]
+    has_data = data_axis in mesh.axis_names and mesh.shape[data_axis] > 1
+    batch_spec = P(data_axis) if has_data else P()
+    p_specs = pp_coati_param_specs(params_template)
+    xcfg = model_cfg.xformer_config
+
+    from coati_tpu.models import coati as F
+
+    def local_loss(params, rng, batch):
+        s = jax.lax.axis_index(pipe_axis)
+        if has_data:
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(data_axis))
+        # ---- replicated encoders (every stage computes identically)
+        h_e3gnn = F.encode_points(
+            params, model_cfg, batch["atoms"], batch["coords"]
+        )
+        # ---- trunk pass 1 (clean tokens) through the pipe
+        hidden = _stage_hidden(
+            params.xformer, xcfg, batch["raw_tokens"], n_microbatches,
+            n_stages, None, None, pipe_axis,
+        )
+        h_stop = stop_token_hidden(hidden, batch["raw_tokens"], stop_token)
+        h_stop = jax.lax.psum(h_stop, pipe_axis)  # (B, D) from last stage
+        proj = cast_floats(params.smiles_to_clip, xcfg.compute_dtype)
+        h_smiles = F.apply_projection(
+            proj, h_stop, model_cfg.old_architecture, xcfg.mm_precision
+        )
+        # ---- clip-token choice (identical across stages: same rng)
+        point_tok = F.clip_to_special_token(params, h_e3gnn)
+        smiles_tok = F.clip_to_special_token(params, h_smiles)
+        pick_point = (
+            jax.random.uniform(rng, (h_e3gnn.shape[0], 1)) > p_clip_emb_smi
+        )
+        clip_token = jnp.where(pick_point, point_tok, smiles_tok)
+        # ---- trunk pass 2 (augmented tokens + injection) through the pipe
+        hidden2 = _stage_hidden(
+            params.xformer, xcfg, batch["tokens"], n_microbatches,
+            n_stages, clip_token, unk_token, pipe_axis,
+        )
+        last = s == n_stages - 1
+        logits = linear(
+            hidden2, params.xformer.lm_head, None, xcfg.mm_precision
+        )
+        y_next = batch["y_next"]
+        valid = y_next != -1
+        safe = jnp.where(valid, y_next, 0)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+        nll_sum = jnp.where(last, jnp.sum(jnp.where(valid, nll, 0.0)), 0.0)
+        count = jnp.where(last, jnp.sum(valid), 0)
+        nll_sum = jax.lax.psum(nll_sum, pipe_axis)
+        count = jax.lax.psum(count, pipe_axis)
+        if has_data:
+            nll_sum = jax.lax.psum(nll_sum, data_axis)
+            count = jax.lax.psum(count, data_axis)
+        ar = nll_sum / jnp.maximum(count, 1)
+        # ---- global CLIP loss, masked to stage 0 so replicated-encoder
+        # gradients are produced by exactly one stage
+        bad_rows = jnp.sum(batch["tokens"], axis=-1) < 1
+        if has_data:
+            all_hs = jax.lax.all_gather(h_smiles, data_axis, axis=0, tiled=True)
+            all_he = jax.lax.all_gather(h_e3gnn, data_axis, axis=0, tiled=True)
+            all_bad = jax.lax.all_gather(bad_rows, data_axis, axis=0, tiled=True)
+        else:
+            all_hs, all_he, all_bad = h_smiles, h_e3gnn, bad_rows
+        cl_local = jnp.where(
+            s == 0, F.clip_loss(all_hs, all_he, all_bad), 0.0
+        )
+        cl = jax.lax.psum(cl_local, pipe_axis)
+        loss = ar + cl * token_entropy_unit
+        return loss, (ar, cl)
+
+    def grad_fn(params, rng, batch):
+        (loss, (ar, cl)), grads = jax.value_and_grad(
+            local_loss, has_aux=True
+        )(params, rng, batch)
+
+        def reduce_grad(g, spec):
+            if has_data:
+                g = jax.lax.psum(g, data_axis)
+            if spec == P():  # replicated leaf: one stage holds the real grad
+                g = jax.lax.psum(g, pipe_axis)
+            return g
+
+        grads = jax.tree_util.tree_map(reduce_grad, grads, p_specs)
+        return loss, ar, cl, grads
+
+    mapped_grads = shard_map(
+        grad_fn, mesh=mesh,
+        in_specs=(p_specs, P(), {k: batch_spec for k in
+                                 ("raw_tokens", "tokens", "y_next",
+                                  "atoms", "coords")}),
+        out_specs=(P(), P(), P(), p_specs),
+        check_vma=False,
+    )
+
+    def step(params, opt_state, rng, batch):
+        loss, ar, cl, grads = mapped_grads(params, rng, batch)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, {
+            "loss": loss, "ar_loss": ar, "clip_loss": cl
+        }
+
+    return jax.jit(step, donate_argnums=(0, 1))
 
 
 def make_pp_ar_train_step(

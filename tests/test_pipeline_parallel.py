@@ -142,3 +142,72 @@ def test_pp_pure_pipe_mesh():
     fwd = make_pp_forward_logits(mesh, cfg, params, n_microbatches=4)
     got = fwd(shard_params_pp(mesh, params), tokens)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_pp_composite_coati_step_matches_single_device():
+    """The COMPOSITE COATI train step (EGNN + both trunk passes +
+    projections + AR and global CLIP losses, clip_e2e.py:772-845) under
+    DP x PP reproduces the single-device pjit step: same metrics, same
+    updated parameters. This is the flagship model actually training
+    under pipeline parallelism, not just the bare trunk."""
+    from coati_tpu.models.coati import init_coati
+    from coati_tpu.parallel.mesh import batch_sharding
+    from coati_tpu.parallel.pp import (
+        make_pp_coati_train_step,
+        shard_coati_params_pp,
+    )
+    from coati_tpu.training.train import make_train_step
+
+    from .multinode_common import CFG, TOK, synthetic_batch
+    from jax.sharding import Mesh, NamedSharding
+
+    cfg = CFG  # n_layer_xformer=2 -> pipe=2 stages of 1 layer
+    batch_np = synthetic_batch(batch=16)
+    optimizer = optax.adam(1e-3)
+    unit = float(np.log2(cfg.n_tok))
+    rng = jax.random.PRNGKey(7)
+
+    # single-device pjit reference (global batch on one device)
+    one_mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1), ("data",))
+    params0 = jax.device_get(init_coati(jax.random.PRNGKey(0), cfg))
+    ref_step = make_train_step(
+        one_mesh, cfg, optimizer,
+        stop_token=TOK.stop_token, unk_token=TOK.unk_token,
+        p_clip_emb_smi=0.0, token_entropy_unit=unit, do_clip=True,
+        mode="pjit",
+    )
+    with jax.default_device(jax.devices()[0]):
+        ref_params, _, ref_metrics = ref_step(
+            jax.device_get(params0),
+            optimizer.init(jax.device_get(params0)),
+            rng,
+            {k: jnp.asarray(v) for k, v in batch_np.items()},
+        )
+
+    # DP(2) x PP(2)
+    mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(2, 2), ("data", "pipe"))
+    params = shard_coati_params_pp(mesh, params0)
+    opt_state = optimizer.init(params)
+    step = make_pp_coati_train_step(
+        mesh, cfg, params, optimizer,
+        stop_token=TOK.stop_token, unk_token=TOK.unk_token,
+        p_clip_emb_smi=0.0, token_entropy_unit=unit, n_microbatches=2,
+    )
+    batch = {
+        k: jax.device_put(jnp.asarray(v), batch_sharding(mesh))
+        for k, v in batch_np.items()
+    }
+    params, opt_state, metrics = step(params, opt_state, rng, batch)
+
+    for key in ("ar_loss", "clip_loss", "loss"):
+        assert float(metrics[key]) == pytest.approx(
+            float(ref_metrics[key]), rel=3e-4, abs=3e-5
+        ), key
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(jax.device_get(ref_params)),
+        jax.tree_util.tree_leaves_with_path(jax.device_get(params)),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1.5e-3,
+            err_msg=jax.tree_util.keystr(pa),
+        )
