@@ -59,8 +59,20 @@ def _round_nj(n: int) -> int:
     return ((n + TILE_J - 1) // TILE_J) * TILE_J
 
 
-def _tile_j(nj: int) -> int:
-    return nj if nj <= TILE_J else TILE_J
+def _j_subtiles(nj: int):
+    """Static (start, size) j sub-tiles for the in-kernel j loop.
+
+    Each sub-tile's compute is guarded by a PER-I-BLOCK runtime cond on
+    the last live pair-weight column, so small molecules in a big atom
+    bucket skip the dead j suffix. The unroll must stay STATIC: Mosaic
+    requires lane-dimension slice offsets be either compile-time
+    constants or provable multiples of 128, so a dynamic-bound fori_loop
+    over 32-column blocks cannot lower — an unrolled loop of <= 4
+    statically-offset sub-tiles (each an scf.if) can. 32 columns
+    (TILE_I*32 = 256 silu rows at Hm=256) keeps the VPU/MXU tiles fat;
+    nj > TILE_J uses TILE_J blocks to bound the unroll."""
+    sub = 32 if nj <= TILE_J else TILE_J
+    return [(s, min(sub, nj - s)) for s in range(0, nj, sub)]
 
 
 def _pick_tile_b(per_mol_bytes: int, fixed_bytes: int, b_sz: int) -> int:
@@ -101,35 +113,50 @@ def _dsilu(x):
 # ------------------------------------------------------------- forward
 
 
+def _last_live_col(w_rows):
+    """Index-past-the-last column with a nonzero pair weight in this
+    i-block's rows. Atoms are packed before padding so live columns are
+    a contiguous prefix; a fully-masked i-block (padding rows past the
+    molecule's atom count) returns 0 and every j sub-tile is skipped —
+    this subsumes the old block-level i-skip cond. Columns past the
+    bound contribute exactly zero (w == 0 multiplies every message and
+    every gradient), so the cut is exact."""
+    nj = w_rows.shape[1]
+    col_any = jnp.max(jnp.abs(w_rows), axis=0, keepdims=True)  # (1, nj)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (1, nj), 1)
+    return jnp.max(jnp.where(col_any > 0.0, idx + 1, 0))
+
+
 def _fwd_kernel(
     a_ref, c_ref, d2_ref, w_ref, wd_ref, b1_ref, w2_ref, b2_ref, out_ref,
-    *, mm_dtype=jnp.float32, tile_b=1, tile_j=TILE_J,
+    *, mm_dtype=jnp.float32, tile_b=1, subtiles=((0, TILE_J),),
 ):
-    nj = c_ref.shape[1]
     ni = a_ref.shape[1]
     hm = a_ref.shape[2]
     n_iblk = ni // TILE_I
 
-    # (b, iblk) as ONE in-kernel fori_loop: the body traces once, so
-    # TILE_B scales the grid down without scaling compile time up
+    # (b, iblk) as ONE in-kernel fori_loop: the body traces once per
+    # j sub-tile shape, so TILE_B scales the grid down without scaling
+    # compile time up
     def outer(idx, carry):
         b = idx // n_iblk
         iblk = idx % n_iblk
         i0 = iblk * TILE_I
         a = a_ref[b, pl.ds(i0, TILE_I), :]  # (TILE_I, Hm)
         w_rows = w_ref[b, pl.ds(i0, TILE_I), :]
+        jmax = _last_live_col(w_rows)
 
-        def body(jblk, acc):
-            c = c_ref[b, pl.ds(jblk * tile_j, tile_j), :]  # (tile_j, Hm)
-            d2 = d2_ref[b, pl.ds(i0, TILE_I), pl.ds(jblk * tile_j, tile_j)]
-            w = w_ref[b, pl.ds(i0, TILE_I), pl.ds(jblk * tile_j, tile_j)]
+        def body(j0, sj, acc):
+            c = c_ref[b, pl.ds(j0, sj), :]  # (sj, Hm)
+            d2 = d2_ref[b, pl.ds(i0, TILE_I), pl.ds(j0, sj)]
+            w = w_ref[b, pl.ds(i0, TILE_I), pl.ds(j0, sj)]
             z1 = (
                 a[:, None, :]
                 + c[None, :, :]
                 + d2[:, :, None] * wd_ref[0]
                 + b1_ref[0]
-            )  # (TILE_I, tile_j, Hm)
-            e1 = _silu(z1).reshape(TILE_I * tile_j, hm)
+            )  # (TILE_I, sj, Hm)
+            e1 = _silu(z1).reshape(TILE_I * sj, hm)
             # mm_dtype=bfloat16 guarantees single-pass MXU matmuls
             # (measured neutral on v5e where Mosaic already truncates
             # f32 dot inputs; explicit for toolchains that don't)
@@ -141,21 +168,20 @@ def _fwd_kernel(
                 )
                 + b2_ref[0]
             )
-            m = _silu(z2).reshape(TILE_I, tile_j, hm)
+            m = _silu(z2).reshape(TILE_I, sj, hm)
             return acc + jnp.sum(m * w[:, :, None], axis=1)
 
-        # skip i-blocks whose every pair weight is zero — atoms are
-        # packed before padding, so rows past a molecule's atom count
-        # are fully masked and the whole edge-MLP block is dead work
-        # (the kernel is VPU-bound on silu, so skipped blocks are
-        # near-free). The branch is a real scf.if at block level.
-        acc = jax.lax.cond(
-            jnp.max(jnp.abs(w_rows)) > 0.0,
-            lambda: jax.lax.fori_loop(
-                0, nj // tile_j, body, jnp.zeros((TILE_I, hm), jnp.float32)
-            ),
-            lambda: jnp.zeros((TILE_I, hm), jnp.float32),
-        )
+        # static j sub-tile unroll, each guarded on the live bound:
+        # padding i-blocks skip everything (the old i-block skip),
+        # small molecules skip the dead j suffix
+        acc = jnp.zeros((TILE_I, hm), jnp.float32)
+        for j0, sj in subtiles:
+            acc = jax.lax.cond(
+                j0 < jmax,
+                lambda acc, j0=j0, sj=sj: body(j0, sj, acc),
+                lambda acc: acc,
+                acc,
+            )
         out_ref[b, pl.ds(i0, TILE_I), :] = acc
         return carry
 
@@ -184,7 +210,8 @@ def _fwd_pallas(a, c, d2, w, wd, b1, w2, b2, mm_dtype=jnp.float32, tile_b=1):
     grid = (b_sz // tile_b,)
     return pl.pallas_call(
         functools.partial(
-            _fwd_kernel, mm_dtype=mm_dtype, tile_b=tile_b, tile_j=_tile_j(nj)
+            _fwd_kernel, mm_dtype=mm_dtype, tile_b=tile_b,
+            subtiles=tuple(_j_subtiles(nj)),
         ),
         grid=grid,
         in_specs=[
@@ -217,10 +244,9 @@ def egnn_messages_reference(a, c, d2, w, wd, b1, w2, b2):
 def _bwd_kernel(
     a_ref, c_ref, d2_ref, w_ref, wd_ref, b1_ref, w2_ref, b2_ref, g_ref,
     da_ref, dc_ref, dwd_ref, db1_ref, dw2_ref, db2_ref,
-    *, mm_dtype=jnp.float32, tile_b=1, tile_j=TILE_J,
+    *, mm_dtype=jnp.float32, tile_b=1, subtiles=((0, TILE_J),),
 ):
     b_idx = pl.program_id(0)
-    nj = c_ref.shape[1]
     ni = a_ref.shape[1]
     hm = a_ref.shape[2]
 
@@ -243,17 +269,19 @@ def _bwd_kernel(
         g = g_ref[b, pl.ds(i0, TILE_I), :]
         w_rows = w_ref[b, pl.ds(i0, TILE_I), :]
 
-        def body(jblk, da_acc):
-            c = c_ref[b, pl.ds(jblk * tile_j, tile_j), :]
-            d2 = d2_ref[b, pl.ds(i0, TILE_I), pl.ds(jblk * tile_j, tile_j)]
-            w = w_ref[b, pl.ds(i0, TILE_I), pl.ds(jblk * tile_j, tile_j)]
+        jmax = _last_live_col(w_rows)
+
+        def body(j0, sj):
+            c = c_ref[b, pl.ds(j0, sj), :]
+            d2 = d2_ref[b, pl.ds(i0, TILE_I), pl.ds(j0, sj)]
+            w = w_ref[b, pl.ds(i0, TILE_I), pl.ds(j0, sj)]
             z1 = (
                 a[:, None, :]
                 + c[None, :, :]
                 + d2[:, :, None] * wd_ref[0]
                 + b1_ref[0]
             )
-            z1f = z1.reshape(TILE_I * tile_j, hm)
+            z1f = z1.reshape(TILE_I * sj, hm)
             e1 = _silu(z1f)
             z2 = (
                 jnp.dot(
@@ -264,7 +292,7 @@ def _bwd_kernel(
                 + b2_ref[0]
             )
             # dm = w_ij * g_i broadcast over j
-            dm = (w[:, :, None] * g[:, None, :]).reshape(TILE_I * tile_j, hm)
+            dm = (w[:, :, None] * g[:, None, :]).reshape(TILE_I * sj, hm)
             dz2 = dm * _dsilu(z2)
             de1 = jnp.dot(
                 dz2.astype(mm_dtype),
@@ -272,7 +300,7 @@ def _bwd_kernel(
                 preferred_element_type=jnp.float32,
             )
             dz1 = de1 * _dsilu(z1f)
-            dz1_3d = dz1.reshape(TILE_I, tile_j, hm)
+            dz1_3d = dz1.reshape(TILE_I, sj, hm)
             # parameter grads (accumulated across the sequential grid)
             dw2_ref[:] += jnp.dot(
                 e1.T.astype(mm_dtype),
@@ -283,25 +311,18 @@ def _bwd_kernel(
             db1_ref[0] += jnp.sum(dz1, axis=0)
             dwd_ref[0] += jnp.sum(dz1_3d * d2[:, :, None], axis=(0, 1))
             # activation grads
-            dc_ref[b, pl.ds(jblk * tile_j, tile_j), :] += jnp.sum(dz1_3d, axis=0)
-            return da_acc + jnp.sum(dz1_3d, axis=1)
+            dc_ref[b, pl.ds(j0, sj), :] += jnp.sum(dz1_3d, axis=0)
+            da_ref[b, pl.ds(i0, TILE_I), :] += jnp.sum(dz1_3d, axis=1)
 
-        # i-block skip (see forward kernel): fully-masked rows have
-        # dm = w*g = 0, so every gradient contribution is zero too
-        live = jnp.max(jnp.abs(w_rows)) > 0.0
-
-        @pl.when(live)
-        def _():
-            da_acc = jax.lax.fori_loop(
-                0, nj // tile_j, body, jnp.zeros((TILE_I, hm), jnp.float32)
-            )
-            da_ref[b, pl.ds(i0, TILE_I), :] = da_acc
-
-        @pl.when(jnp.logical_not(live))
-        def _():
-            da_ref[b, pl.ds(i0, TILE_I), :] = jnp.zeros(
-                (TILE_I, hm), jnp.float32
-            )
+        # static j sub-tile unroll guarded on the live bound (see the
+        # forward kernel): padding i-blocks skip everything; columns
+        # past the bound have dm = w*g = 0, so every gradient
+        # contribution there is exactly zero
+        da_ref[b, pl.ds(i0, TILE_I), :] = jnp.zeros((TILE_I, hm), jnp.float32)
+        for j0, sj in subtiles:
+            @pl.when(j0 < jmax)
+            def _(j0=j0, sj=sj):
+                body(j0, sj)
         return carry
 
     jax.lax.fori_loop(0, tile_b * n_iblk, outer, 0)
@@ -313,7 +334,8 @@ def _bwd_pallas(a, c, d2, w, wd, b1, w2, b2, g, mm_dtype=jnp.float32, tile_b=1):
     grid = (b_sz // tile_b,)
     return pl.pallas_call(
         functools.partial(
-            _bwd_kernel, mm_dtype=mm_dtype, tile_b=tile_b, tile_j=_tile_j(nj)
+            _bwd_kernel, mm_dtype=mm_dtype, tile_b=tile_b,
+            subtiles=tuple(_j_subtiles(nj)),
         ),
         grid=grid,
         in_specs=[

@@ -57,6 +57,29 @@ class step_timer:
         }
 
 
+def compiled_cost(jitted_fn, *args):
+    """AOT-compile a jitted function and return (compiled, cost_dict).
+
+    `compiled` is callable with the same args (so benchmarks pay ONE
+    compile and still get the XLA cost model); `cost_dict` holds
+    "flops" and "bytes accessed" when the backend reports them, else
+    NaN. FLOPs are *executed* FLOPs — rematerialization recompute is
+    included — which is the honest numerator for a hardware-utilization
+    roofline (model-FLOPs MFU needs a no-remat compile of the same
+    step; see scripts/bench_train.py TRAIN_MODEL_FLOPS).
+    """
+    compiled = jitted_fn.lower(*args).compile()
+    ca = compiled.cost_analysis()
+    if isinstance(ca, (list, tuple)):  # older JAX: one dict per device
+        ca = ca[0] if ca else {}
+    ca = ca or {}
+    cost = {
+        "flops": float(ca.get("flops", float("nan"))),
+        "bytes_accessed": float(ca.get("bytes accessed", float("nan"))),
+    }
+    return compiled, cost
+
+
 def finite_check(tree, name: str = "tree") -> None:
     """Host-side NaN/Inf audit of a pytree; raises with the bad paths."""
     bad = []

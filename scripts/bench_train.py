@@ -32,11 +32,18 @@ from coati_tpu.parallel.mesh import make_mesh, replicate_params, shard_batch
 from coati_tpu.tokenizers import get_vocab
 from coati_tpu.tokenizers.trie_tokenizer import TrieTokenizer
 from coati_tpu.training.config import grande_config
+from coati_tpu.training.flops import coati_train_step_model_flops
 from coati_tpu.training.train import (
     make_optimizer,
     make_train_step,
     model_config_from_train_config,
 )
+
+# Roofline denominators for the MFU report: what THIS device actually
+# sustains on chained large bf16 matmuls (PERF.md device characterization),
+# and the nominal v5e bf16 peak for reference.
+MEASURED_CEILING_TFLOPS = float(os.environ.get("TRAIN_CEILING_TFLOPS", 103.0))
+NOMINAL_PEAK_TFLOPS = 197.0
 
 
 def main():
@@ -94,6 +101,21 @@ def main():
     params, opt_state, metrics = step(params, opt_state, key, device_batch)
     print(f"compile+first step: {time.perf_counter() - t0:.1f}s, "
           f"loss {float(metrics['loss']):.3f}")
+
+    # Analytic model FLOPs (training/flops.py, verified vs XLA's counter
+    # in tests/test_flops.py). XLA's own cost_analysis is NOT usable
+    # here: it counts the lax.scan trunk body once and cannot see inside
+    # the Pallas message kernel, undercounting this step ~10x.
+    model_flops = coati_train_step_model_flops(
+        n_layer_xformer=config.n_layer_xformer,
+        n_hidden_xformer=config.n_hidden_xformer,
+        n_layer_e3gnn=config.n_layer_e3gnn,
+        n_hidden_e3nn=config.n_hidden_e3nn,
+        n_tok=tok.n_token,
+        batch=g_batch,
+        seq=seq,
+        natoms=n_atoms,
+    )
     # several warmup steps: some runtimes take a few executions to reach
     # steady state after compilation
     for i in range(4):
@@ -111,6 +133,14 @@ def main():
     print(
         f"train step: {dt * 1000:.1f} ms -> {g_batch / dt:.1f} samples/s "
         f"({g_batch / dt / n_dev:.1f} samples/s/chip, {n_dev} chip(s))"
+    )
+    mfu = model_flops / dt / n_dev / 1e12
+    print(
+        f"model FLOPs/step: {model_flops / 1e12:.3f} TF -> "
+        f"{mfu:.1f} TFLOP/s/chip = model-FLOPs MFU "
+        f"{100 * mfu / MEASURED_CEILING_TFLOPS:.0f}% of the "
+        f"{MEASURED_CEILING_TFLOPS:.0f} TF/s measured matmul ceiling "
+        f"({100 * mfu / NOMINAL_PEAK_TFLOPS:.0f}% of {NOMINAL_PEAK_TFLOPS:.0f} nominal)"
     )
 
 

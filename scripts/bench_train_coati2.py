@@ -27,6 +27,7 @@ from coati_tpu.parallel.mesh import make_mesh, replicate_params, shard_batch
 from coati_tpu.tokenizers import get_vocab
 from coati_tpu.tokenizers.trie_tokenizer import TrieTokenizer
 from coati_tpu.training.config import TrainConfig
+from coati_tpu.training.flops import coati2_train_step_model_flops
 from coati_tpu.training.train import make_optimizer
 from coati_tpu.training.train_coati2 import (
     Coati2TrainConfig,
@@ -114,6 +115,23 @@ def main():
     print(
         f"coati2 train step: {dt * 1000:.1f} ms -> {g_batch / dt:.1f} samples/s "
         f"({g_batch / dt / n_dev:.1f} samples/s/chip, {n_dev} chip(s))"
+    )
+    # Analytic model FLOPs (training/flops.py; XLA's cost_analysis
+    # counts the scanned trunk body once -> unusable, tests/test_flops.py)
+    model_flops = coati2_train_step_model_flops(
+        n_layer_xformer=config.n_layer_xformer,
+        n_hidden_xformer=config.n_hidden_xformer,
+        n_tok=tok.n_token,
+        batch=g_batch,
+        seq=seq,
+    )
+    ceiling = float(os.environ.get("TRAIN_CEILING_TFLOPS", 103.0))
+    mfu = model_flops / dt / n_dev / 1e12
+    print(
+        f"model FLOPs/step: {model_flops / 1e12:.3f} TF -> "
+        f"{mfu:.1f} TFLOP/s/chip = model-FLOPs MFU {100 * mfu / ceiling:.0f}% of the "
+        f"{ceiling:.0f} TF/s measured matmul ceiling "
+        f"({100 * mfu / 197.0:.0f}% of 197 nominal)"
     )
 
 
