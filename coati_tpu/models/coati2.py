@@ -57,6 +57,8 @@ class Coati2Config:
     remat: bool = struct.field(pytree_node=False, default=False)
     # training-attention softmax dtype (see TransformerConfig.softmax_dtype)
     softmax_dtype: str = struct.field(pytree_node=False, default="float32")
+    # full-sequence attention backend (see TransformerConfig.prefill_kernel)
+    prefill_kernel: str = struct.field(pytree_node=False, default="auto")
 
     @property
     def xformer_config(self) -> TransformerConfig:
@@ -72,6 +74,7 @@ class Coati2Config:
             precision=self.precision,
             remat=self.remat,
             softmax_dtype=self.softmax_dtype,
+            prefill_kernel=self.prefill_kernel,
         )
 
 

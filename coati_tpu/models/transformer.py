@@ -91,6 +91,13 @@ class TransformerConfig:
     # scan-saved residuals; ~0.4% prob error, training-quality neutral
     # at these seq lengths, -16% trunk fwd+grad; PERF.md)
     softmax_dtype: str = struct.field(pytree_node=False, default="float32")
+    # full-sequence attention backend: "auto" (default) selects the
+    # fused Pallas kernel (ops/pallas/flash_attention.py — no (B,H,T,T)
+    # probs in HBM, f32 softmax in VMEM) on TPU for T >= 192 where it
+    # measures -35%/layer, and XLA below (T=96 is MXU-pass-bound at
+    # Dh=16; the kernel is neutral there — PERF.md). "xla" / "pallas"
+    # force either path.
+    prefill_kernel: str = struct.field(pytree_node=False, default="auto")
 
     @property
     def head_dim(self) -> int:
@@ -245,6 +252,28 @@ def embed_tokens(
 # ---------------------------------------------------------- full forward
 
 
+def _use_flash(cfg: TransformerConfig, t: int) -> bool:
+    """Static (trace-time) choice of the full-sequence attention backend
+    — see TransformerConfig.prefill_kernel."""
+    if cfg.prefill_kernel == "xla":
+        return False
+    from coati_tpu.ops.pallas.flash_attention import flash_supported, on_tpu
+
+    if cfg.prefill_kernel == "pallas":
+        if (cfg.n_embd % 128) != 0:
+            raise ValueError(
+                "prefill_kernel='pallas' needs n_embd % 128 == 0 "
+                f"(lane tiling), got {cfg.n_embd}"
+            )
+        return True
+    if cfg.prefill_kernel != "auto":
+        raise ValueError(
+            f"prefill_kernel must be 'auto', 'xla' or 'pallas', got "
+            f"{cfg.prefill_kernel!r}"
+        )
+    return on_tpu() and flash_supported(t, cfg.n_head, cfg.head_dim)
+
+
 def _block_full(x, blk: BlockParams, cfg: TransformerConfig, cos, sin):
     """One block over a full sequence. x: (B, T, D)."""
     b, t, d = x.shape
@@ -260,9 +289,14 @@ def _block_full(x, blk: BlockParams, cfg: TransformerConfig, cos, sin):
     # rotary over positions [0, t): cos/sin broadcast (T, Dh) -> (B, T, H, Dh)
     q = apply_rotary(q, cos[:t, None, :], sin[:t, None, :])
     k = apply_rotary(k, cos[:t, None, :], sin[:t, None, :])
-    attn = causal_attention(
-        q, k, v, prec, softmax_dtype=cfg.attn_softmax_dtype
-    ).reshape(b, t, d)
+    if _use_flash(cfg, t):
+        from coati_tpu.ops.pallas.flash_attention import flash_causal_attention
+
+        attn = flash_causal_attention(q, k, v).reshape(b, t, d)
+    else:
+        attn = causal_attention(
+            q, k, v, prec, softmax_dtype=cfg.attn_softmax_dtype
+        ).reshape(b, t, d)
     x = x + linear(attn, blk.w_proj, blk.b_proj, prec)
 
     y = layer_norm(x, blk.ln2_scale, blk.ln2_bias)

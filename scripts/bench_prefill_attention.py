@@ -45,7 +45,10 @@ def timed(name, fn, *args):
         def body(i, carry):
             s, q = carry
             r = fn(q, *rest)
-            return s + jnp.sum(r.astype(jnp.float32)), q + 1e-6 * r
+            rs = jnp.sum(r.astype(jnp.float32))
+            # data dependence via a scalar nudge (output and input may
+            # have different shapes, so chaining q + r is not general)
+            return s + rs, q * (1.0 + 1e-30 * rs).astype(q.dtype)
 
         s, _ = lax.fori_loop(0, ITERS, body, (jnp.float32(0.0), first))
         return s
