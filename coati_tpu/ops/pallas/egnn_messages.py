@@ -32,6 +32,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from coati_tpu.ops.pallas.common import on_tpu as _on_tpu
+from coati_tpu.ops.pallas.common import pad_to as _pad_to
+
 TILE_I = 8
 TILE_J = 128
 
@@ -90,15 +93,6 @@ def _pick_tile_b(per_mol_bytes: int, fixed_bytes: int, b_sz: int) -> int:
     if tile >= 4:
         tile -= tile % 4  # keep batch padding modest
     return max(1, tile)
-
-
-def _pad_to(x, size, axis):
-    pad = size - x.shape[axis]
-    if pad <= 0:
-        return x
-    widths = [(0, 0)] * x.ndim
-    widths[axis] = (0, pad)
-    return jnp.pad(x, widths)
 
 
 def _silu(x):
@@ -370,10 +364,6 @@ def _bwd_pallas(a, c, d2, w, wd, b1, w2, b2, g, mm_dtype=jnp.float32, tile_b=1):
 
 
 # --------------------------------------------------------- public entry
-
-
-def _on_tpu() -> bool:
-    return jax.default_backend() in ("tpu", "axon")
 
 
 def _pad_all(a, c, d2, w, extra=None, tile_fn=None):

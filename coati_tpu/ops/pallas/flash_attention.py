@@ -27,8 +27,11 @@ use compile-time offsets (h * Dh), satisfying Mosaic's constraint.
 Differentiation: a custom VJP backs the kernel with the XLA reference
 formulation — the forward saves (q, k, v) and the backward replays
 `causal_attention` under jax.vjp. Correct everywhere (incl. under
-jax.checkpoint), but it re-pays the XLA forward; training at short T
-never selects the kernel, so this costs nothing on the hot paths.
+jax.checkpoint), but it re-pays the XLA forward, so fwd+grad through
+the kernel is strictly SLOWER than pure XLA; every training config
+therefore pins prefill_kernel="xla" (train.py
+model_config_from_train_config, train_coati2.py model_config,
+finetune.py make_lora_ar_step) and "auto" is an inference default.
 """
 
 from __future__ import annotations
@@ -41,22 +44,15 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from coati_tpu.ops.pallas.common import on_tpu, pad_to
+
 # VMEM budget for picking TILE_B (bytes). The dev tunnel's Mosaic
 # accepts raised scoped-vmem limits; keep comfortably under it.
 _VMEM_LIMIT = 96 * 1024 * 1024
 _VMEM_BUDGET = 64 * 1024 * 1024
 
 
-def _pad_to(x, n, axis):
-    pad = n - x.shape[axis]
-    if pad <= 0:
-        return x
-    widths = [(0, 0)] * x.ndim
-    widths[axis] = (0, pad)
-    return jnp.pad(x, widths)
-
-
-def _pick_tile_b(t: int, c: int, h: int, bytes_per_el: int) -> int:
+def _pick_tile_b(t: int, c: int, bytes_per_el: int) -> int:
     """Largest power-of-two batch tile (capped at 4) whose VMEM
     footprint fits the budget: 4 streams (q, k, v, o) of (tb, T, C)
     plus the per-head f32 score/prob temporaries (~4 copies of
@@ -111,16 +107,17 @@ def _flash_forward(q, k, v, interpret=False):
     interpret = interpret or jax.default_backend() == "cpu"
     b, t, h, dh = q.shape
     c = h * dh
-    tp = ((t + 7) // 8) * 8  # f32 sublane multiple; zero-pad rows are
-    # causally masked as keys and sliced off as queries
-    qf = _pad_to(q.reshape(b, t, c), tp, 1)
-    kf = _pad_to(k.reshape(b, t, c), tp, 1)
-    vf = _pad_to(v.reshape(b, t, c), tp, 1)
-    tile_b = _pick_tile_b(tp, c, h, qf.dtype.itemsize)
+    # pad T to the bf16 sublane tile (16 also satisfies f32's 8); the
+    # zero rows are causally masked as keys and sliced off as queries
+    tp = ((t + 15) // 16) * 16
+    qf = pad_to(q.reshape(b, t, c), tp, 1)
+    kf = pad_to(k.reshape(b, t, c), tp, 1)
+    vf = pad_to(v.reshape(b, t, c), tp, 1)
+    tile_b = _pick_tile_b(tp, c, qf.dtype.itemsize)
     bp = ((b + tile_b - 1) // tile_b) * tile_b
-    qf = _pad_to(qf, bp, 0)
-    kf = _pad_to(kf, bp, 0)
-    vf = _pad_to(vf, bp, 0)
+    qf = pad_to(qf, bp, 0)
+    kf = pad_to(kf, bp, 0)
+    vf = pad_to(vf, bp, 0)
     out = pl.pallas_call(
         functools.partial(_attn_kernel, h=h, dh=dh, tile_b=tile_b),
         grid=(bp // tile_b,),
@@ -174,7 +171,3 @@ def flash_supported(t: int, h: int, dh: int) -> bool:
     """Shapes the kernel accepts AND where it measured a win: lane-full
     channel dim, sequence past the traffic-bound threshold."""
     return (h * dh) % 128 == 0 and t >= 192
-
-
-def on_tpu() -> bool:
-    return jax.default_backend() in ("tpu", "axon")

@@ -130,6 +130,13 @@ class SvgpParams:
     # here before this field existed
     mean_const: jnp.ndarray = struct.field(default_factory=lambda: jnp.zeros(()))
 
+    def __setstate__(self, state):
+        # DueModel.save pickles this dataclass instance directly, and
+        # unpickling bypasses __init__/default_factory — backfill the
+        # prior mean so pre-mean_const .pkl files keep loading.
+        state.setdefault("mean_const", jnp.zeros(()))
+        self.__dict__.update(state)
+
 
 def rbf_kernel(x1, x2, lengthscale, outputscale):
     # HIGHEST precision: TPU matmuls default to bf16 inputs, whose ~1e-2

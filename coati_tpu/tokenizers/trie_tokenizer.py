@@ -178,7 +178,16 @@ class TrieTokenizer:
             lut[: len(self.special_tokens)] = True
             self._special_lut = lut
         b, t = raw.shape
-        toks = np.clip(raw, 0, self.n_token - 1)
+        if raw.min() < 0 or raw.max() >= self.n_token:
+            # match scalar decode, which indexes self.keys and raises —
+            # silently clipping would decode corrupted ids as the last
+            # vocab token and mask a wrong-tokenizer/model pairing
+            bad = raw[(raw < 0) | (raw >= self.n_token)]
+            raise IndexError(
+                f"decode_batch: token id(s) out of range [0, {self.n_token}): "
+                f"{np.unique(bad)[:8].tolist()}"
+            )
+        toks = raw
         if end_at_stop:
             is_stop = toks == self.stop_token
             # row length INCLUDING the stop token (decode keeps it)

@@ -113,6 +113,9 @@ def make_lora_ar_step(
     base_xformer = jax.tree_util.tree_map(
         lambda x: jnp.asarray(x) if hasattr(x, "dtype") else x, base_xformer
     )
+    # differentiated path: the flash prefill kernel's custom VJP replays
+    # the XLA forward, so never auto-select it here (flash_attention.py)
+    cfg = cfg.replace(prefill_kernel="xla")
 
     @jax.jit
     def step(lora, opt_state, tokens, y_next, injection=None):

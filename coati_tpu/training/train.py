@@ -91,6 +91,11 @@ def model_config_from_train_config(config: TrainConfig, n_tok: int) -> CoatiConf
         egnn_remat=config.egnn_remat,
         remat=config.xformer_remat,
         softmax_dtype=config.softmax_dtype,
+        # never auto-select the flash prefill kernel under
+        # differentiation: its custom VJP replays the XLA forward, so
+        # fwd+grad through it is strictly slower (flash_attention.py);
+        # TrainConfig's default n_seq=200 would otherwise trip "auto"
+        prefill_kernel="xla",
     )
 
 

@@ -132,6 +132,10 @@ class Coati2TrainConfig:
             dtype=self.dtype,
             remat=self.remat,
             softmax_dtype=self.softmax_dtype,
+            # never auto-select the flash prefill kernel under
+            # differentiation: its custom VJP replays the XLA forward,
+            # so fwd+grad through it is strictly slower (flash_attention.py)
+            prefill_kernel="xla",
         )
 
     def model_kwargs(self, n_tok: int) -> dict:

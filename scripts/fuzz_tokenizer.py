@@ -21,8 +21,11 @@ divergence count per vocab and corpus class:
   chars     — uniform random strings over the vocab's character set
 
 Usage: python scripts/fuzz_tokenizer.py [--per-class 4000] [--seed 0]
-Exit code 1 if any divergence is found on the `chembl` class (realistic
-inputs); tokcat/chars divergences are reported for documentation.
+Exit code 1 if any divergence is found on the realistic classes —
+`chembl` (real molecules) or `mutate` (edits of real molecules, the
+kind of near-miss input users actually feed); tokcat/chars divergences
+are purely adversarial and reported for documentation only. The
+recorded round-2 run: 117,972 strings, zero divergence in EVERY class.
 """
 
 from __future__ import annotations

@@ -147,3 +147,25 @@ def test_remove_spectral_norm_preserves_predictions():
     b_mean, b_std = stripped.predict(x)
     np.testing.assert_allclose(a_mean, b_mean, atol=1e-5)
     np.testing.assert_allclose(a_std, b_std, atol=1e-5)
+
+
+def test_old_pickle_without_mean_const_loads():
+    """DueModel documents saved before SvgpParams.mean_const existed
+    unpickle without __init__, so the field must be backfilled by
+    __setstate__ (review round 2 regression)."""
+    import pickle
+
+    from coati_tpu.regression.due import SvgpParams
+
+    p = SvgpParams(
+        inducing=jnp.zeros((4, 3)), var_mean=jnp.zeros(4),
+        var_chol=jnp.eye(4), log_lengthscale=jnp.zeros(()),
+        log_outputscale=jnp.zeros(()), log_noise=jnp.zeros(()),
+    )
+    old = SvgpParams.__new__(SvgpParams)
+    state = dict(p.__dict__)
+    del state["mean_const"]  # what a pre-field pickle restores
+    old.__dict__.update(state)
+    loaded = pickle.loads(pickle.dumps(old))
+    assert float(loaded.mean_const) == 0.0
+    jax.tree_util.tree_map(lambda x: x.shape, loaded)  # flattens cleanly

@@ -203,11 +203,24 @@ def test_pp_composite_coati_step_matches_single_device():
         assert float(metrics[key]) == pytest.approx(
             float(ref_metrics[key]), rel=3e-4, abs=3e-5
         ), key
-    for (pa, a), (pb, b) in zip(
+    # Compare the UPDATE VECTORS, not the parameters: adam's first step
+    # is ~±lr (1e-3) per element, so a parameter-level atol above lr
+    # would pass even with a dropped gradient. Delta-level atol 2e-4
+    # distinguishes a missing/mis-scaled/mis-signed update (diff ~1e-3
+    # or ~2e-3) from f32 psum-order noise, which only reaches that size
+    # through adam's g/(sqrt(v)+eps) amplification on near-zero grads.
+    p0_leaves = jax.tree_util.tree_leaves(params0)
+    moved = 0
+    for (pa, a), b, p0 in zip(
         jax.tree_util.tree_leaves_with_path(jax.device_get(ref_params)),
-        jax.tree_util.tree_leaves_with_path(jax.device_get(params)),
+        jax.tree_util.tree_leaves(jax.device_get(params)),
+        p0_leaves,
     ):
+        da = np.asarray(a) - np.asarray(p0)
+        db = np.asarray(b) - np.asarray(p0)
         np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), atol=1.5e-3,
-            err_msg=jax.tree_util.keystr(pa),
+            da, db, atol=2e-4, err_msg=jax.tree_util.keystr(pa)
         )
+        moved += int(np.sum(np.abs(da) > 5e-4))
+    # power check: the comparison must be over real updates, not zeros
+    assert moved > 1000, f"only {moved} parameters moved — test has no power"

@@ -133,7 +133,7 @@ def test_fuzz_agreement_with_reference():
 def test_decode_batch_matches_scalar_decode():
     """decode_batch (the vectorized hot path of the generation APIs)
     must agree with per-row decode on every flag combination, including
-    rows with FIM spans, early stops, pads, and unknown-id clipping."""
+    rows with FIM spans, early stops, and pads."""
     tok = make_tokenizer("mar", n_seq=32)
     rng = np.random.default_rng(5)
     rows = rng.integers(0, tok.n_token, size=(64, 20)).astype(np.int32)
@@ -160,6 +160,19 @@ def test_decode_batch_matches_scalar_decode():
                     rows, special=special, end_at_stop=end_at_stop, de_fim=de_fim
                 )
                 assert got == want, (special, end_at_stop, de_fim)
+
+
+def test_decode_batch_rejects_out_of_range_ids():
+    """Scalar decode raises on ids >= n_token (it indexes self.keys);
+    decode_batch must raise too instead of silently clipping corrupted
+    ids to the last vocab token (review round 2)."""
+    tok = make_tokenizer("mar", n_seq=32)
+    rows = np.zeros((2, 5), np.int32)
+    rows[1, 2] = tok.n_token  # one past the vocabulary
+    import pytest
+
+    with pytest.raises(IndexError, match="out of range"):
+        tok.decode_batch(rows)
 
 
 def test_matcher_preserves_text():
