@@ -77,6 +77,9 @@ class CoatiConfig:
     # TransformerConfig.prefill_kernel — auto fuses attention on TPU at
     # T >= 192, -14% trunk forward at n_seq 250)
     prefill_kernel: str = struct.field(pytree_node=False, default="auto")
+    # decode top-k recall target (see TransformerConfig.topk_recall —
+    # 0.8 is the quality-validated production default, +23% decode)
+    topk_recall: float = struct.field(pytree_node=False, default=0.8)
     # activation rematerialization in backward (see TransformerConfig.remat
     # / EgnnConfig.remat): the EGNN defaults on to bound the (B,N,N,H)
     # peak; trunk remat is a net training WIN even where memory fits
@@ -107,6 +110,7 @@ class CoatiConfig:
             kv_scale_dtype=self.kv_scale_dtype,
             decode_kernel=self.decode_kernel,
             prefill_kernel=self.prefill_kernel,
+            topk_recall=self.topk_recall,
             remat=self.remat,
             softmax_dtype=self.softmax_dtype,
         )

@@ -59,6 +59,9 @@ class Coati2Config:
     softmax_dtype: str = struct.field(pytree_node=False, default="float32")
     # full-sequence attention backend (see TransformerConfig.prefill_kernel)
     prefill_kernel: str = struct.field(pytree_node=False, default="auto")
+    # decode top-k recall target (see TransformerConfig.topk_recall —
+    # 0.8 is the quality-validated production default, +23% decode)
+    topk_recall: float = struct.field(pytree_node=False, default=0.8)
 
     @property
     def xformer_config(self) -> TransformerConfig:
@@ -75,6 +78,7 @@ class Coati2Config:
             remat=self.remat,
             softmax_dtype=self.softmax_dtype,
             prefill_kernel=self.prefill_kernel,
+            topk_recall=self.topk_recall,
         )
 
 

@@ -132,7 +132,7 @@ def generate_tokens(
         step_rng = jax.random.fold_in(rng, pos)
         sampled = sample_top_k(
             step_rng, last_logits, k, inv_temp, approx=approx_top_k,
-            top_p=top_p,
+            top_p=top_p, recall_target=cfg.topk_recall,
         ).astype(jnp.int32)
         sampled = jnp.where(stopped, pad_token, sampled)
         # rows whose own prefix extends past `pos` keep their prefix token

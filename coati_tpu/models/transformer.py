@@ -98,6 +98,19 @@ class TransformerConfig:
     # Dh=16; the kernel is neutral there — PERF.md). "xla" / "pallas"
     # force either path.
     prefill_kernel: str = struct.field(pytree_node=False, default="auto")
+    # lax.approx_max_k recall target for the decode sampler's top-k
+    # (ops/sampling.py): the TPU partial-reduction's cost scales
+    # steeply with the target (1.06 ms/step at 0.95 vs 0.45 at 0.80,
+    # B=1024 x 13,603 vocab — sampling was 1/3 of the decode step;
+    # 0.80 is +23% decode throughput end-to-end). Per-block maxima
+    # always survive, so greedy/near-greedy decoding is unaffected.
+    # PRODUCTION DEFAULT 0.8 on the strength of the trained-model eval
+    # (scripts/eval_int8_decode.py: 100% round-trip, 100% token
+    # agreement vs fp32, and candidate-set softmax mass 1.000000 at
+    # inv_temp=2 k=100 — trained SMILES logits are so peaked that the
+    # recall target's tail swaps carry ~zero probability). Raise toward
+    # 1.0 for untrained/flat-logit regimes.
+    topk_recall: float = struct.field(pytree_node=False, default=0.8)
 
     @property
     def head_dim(self) -> int:

@@ -130,6 +130,11 @@ def main():
                                    "kv_scale_dtype": "bfloat16"}),
         ("bf16+pallas", {"dtype": "bfloat16",
                          "decode_kernel": "pallas"}),
+        # lowered approx_max_k recall target (decode throughput knob,
+        # see TransformerConfig.topk_recall): per-block maxima always
+        # survive, so near-greedy round-trip must be unaffected
+        ("bf16+int8kv+recall0.8", {"dtype": "bfloat16", "kv_dtype": "int8",
+                                   "topk_recall": 0.8}),
     ):
         eval_cfg = cfg.replace(**axes)
         p = params
@@ -151,6 +156,28 @@ def main():
         results[name] = (roundtrip, agree)
         print(f"{name:22s} round-trip {roundtrip:6.1%}   "
               f"token-agreement-vs-fp32 {agree:6.1%}")
+
+    # ---- candidate-mass fidelity of the lowered recall target -------
+    # On TRAINED logits (first-step AR distribution over the corpus):
+    # the sampled distribution's total-variation shift from exact top-k
+    # is bounded by the softmax-mass difference of the candidate sets,
+    # so report sum softmax(inv_temp * logits)[candidates] per target.
+    from coati_tpu.models.transformer import forward_logits
+
+    logits = forward_logits(params.xformer, cfg.xformer_config, jnp.asarray(raw))
+    last = logits[jnp.arange(len(raw)), jnp.sum(jnp.asarray(raw) > 0, axis=1) - 1]
+    for inv_temp, k in ((2.0, 100),):
+        probs = jax.nn.softmax(inv_temp * last.astype(jnp.float32), axis=-1)
+        _, exact_idx = jax.lax.top_k(last, k)
+        exact_mass = jnp.take_along_axis(probs, exact_idx, axis=-1).sum(-1)
+        print(f"candidate softmax mass at inv_temp={inv_temp} k={k} "
+              f"(exact top-k): {float(exact_mass.mean()):.6f}")
+        for rt in (0.95, 0.8, 0.7):
+            _, idxs = jax.lax.approx_max_k(last, k, recall_target=rt)
+            mass = jnp.take_along_axis(probs, idxs, axis=-1).sum(-1)
+            print(f"  recall_target {rt}: mean mass {float(mass.mean()):.6f} "
+                  f"(min {float(mass.min()):.6f}) — TV shift vs exact <= "
+                  f"{float((exact_mass - mass).mean()):.2e}")
 
     return results
 
