@@ -20,6 +20,7 @@ TPU-native replacement for the reference DDP loop
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Optional, Tuple
 
@@ -252,7 +253,6 @@ def train_autoencoder(
         # self-describing run dir (reference writes params.json at start,
         # train_coati.py:79-82)
         import json
-        import os
 
         from coati_tpu.common.util import makedir
 
@@ -452,6 +452,60 @@ def train_autoencoder(
             required_fields=["smiles"],
             xform_routine=xform_routine,
         )
+        # metric reads are deferred by ONE step: float(metrics[...])
+        # blocks on the device, and reading step i's loss only after
+        # step i+1 is DISPATCHED lets the next batch's host xform +
+        # transfer run under the device step (JAX async dispatch) —
+        # otherwise ~13 ms/step of host work serializes behind an
+        # ~89 ms grande step. Values are unchanged, just read later.
+        # TRAIN_SYNC_METRICS=1 restores the per-step sync for A/Bs.
+        sync_metrics = os.environ.get("TRAIN_SYNC_METRICS") == "1"
+        pending = None  # (i, metrics, bsz) of the not-yet-read step
+
+        def drain_pending():
+            nonlocal pending, total_loss, counter
+            if pending is None:
+                return
+            j, metrics, bsz = pending
+            pending = None
+            loss = float(metrics["loss"])
+            ar = float(metrics["ar_loss"])
+            cl = float(metrics["clip_loss"])
+            if is_main:
+                if logger is not None and j % config.log_batch_loss == 0:
+                    offline_losses["batch_losses"].append(
+                        logger.log_metric(
+                            f"{partition}_batch_loss", loss,
+                            dataset_epoch=epoch, step=j, tags={"n_toks": n_toks},
+                        )
+                    )
+                    offline_losses["ar_losses"].append(
+                        logger.log_metric(
+                            f"{partition}_ar_loss", ar,
+                            dataset_epoch=epoch, step=j, tags={"n_toks": n_toks},
+                        )
+                    )
+                    if config.do_clip:
+                        offline_losses["clip_losses"].append(
+                            logger.log_metric(
+                                f"{partition}_clip_loss", cl,
+                                dataset_epoch=epoch, step=j, tags={"n_toks": n_toks},
+                            )
+                        )
+                if j % config.log_interval == 0:
+                    prefix = "" if partition == "train" else f">> {partition} \t"
+                    recent = loss_arr[-10:] or [loss]
+                    print(
+                        prefix
+                        + f"Epoch {epoch} \t it {j} \t toks {n_toks // 10**6}m "
+                        f"\t ar_l: {ar:.2f}, clip_l {cl:.6f}, "
+                        f"loss {sum(recent) / len(recent):.4f} \t "
+                        f"grads_ps {ng / max(time.time() - t0, 1e-6):.4f}"
+                    )
+            total_loss += loss * bsz
+            counter += bsz
+            loss_arr.append(loss)
+
         for i, batch in enumerate(pipe):
             if max_steps_per_epoch is not None and i >= max_steps_per_epoch:
                 break
@@ -473,11 +527,15 @@ def train_autoencoder(
                     _, _, metrics = step_eval(
                         params, opt_state, step_rng, device_batch
                     )
-                loss = float(metrics["loss"])
-            ar = float(metrics["ar_loss"])
-            cl = float(metrics["clip_loss"])
+                # sync on the PREVIOUS step, letting this one run under
+                # the next batch's host work; the timer therefore
+                # measures the pipelined per-step wall time
+                drain_pending()
 
             bsz = batch["tokens"].shape[0]
+            pending = (i, metrics, bsz)
+            if sync_metrics:  # A/B knob: restore the per-step host sync
+                drain_pending()
             # counters advance on EVERY process (deterministic from the
             # shared input stream) so the checkpoint cadence fires in
             # lockstep — the orbax save is a multi-host collective
@@ -492,40 +550,7 @@ def train_autoencoder(
                             {"train_epoch": str(epoch), "dataset_epoch": str(epoch)}
                         )
                     orbax_checkpoint(epoch)
-            if is_main:
-                if logger is not None and i % config.log_batch_loss == 0:
-                    offline_losses["batch_losses"].append(
-                        logger.log_metric(
-                            f"{partition}_batch_loss", loss,
-                            dataset_epoch=epoch, step=i, tags={"n_toks": n_toks},
-                        )
-                    )
-                    offline_losses["ar_losses"].append(
-                        logger.log_metric(
-                            f"{partition}_ar_loss", ar,
-                            dataset_epoch=epoch, step=i, tags={"n_toks": n_toks},
-                        )
-                    )
-                    if config.do_clip:
-                        offline_losses["clip_losses"].append(
-                            logger.log_metric(
-                                f"{partition}_clip_loss", cl,
-                                dataset_epoch=epoch, step=i, tags={"n_toks": n_toks},
-                            )
-                        )
-                if i % config.log_interval == 0:
-                    prefix = "" if partition == "train" else f">> {partition} \t"
-                    recent = loss_arr[-10:] or [loss]
-                    print(
-                        prefix
-                        + f"Epoch {epoch} \t it {i} \t toks {n_toks // 10**6}m "
-                        f"\t ar_l: {ar:.2f}, clip_l {cl:.6f}, "
-                        f"loss {sum(recent) / len(recent):.4f} \t "
-                        f"grads_ps {ng / max(time.time() - t0, 1e-6):.4f}"
-                    )
-            total_loss += loss * bsz
-            counter += bsz
-            loss_arr.append(loss)
+        drain_pending()
         if counter == 0:
             return None
         if is_main:

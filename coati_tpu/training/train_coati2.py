@@ -420,6 +420,49 @@ def train_coati2(
             required_fields=["smiles"],
             xform_routine=xform_routine,
         )
+        # deferred metric reads, same pipelining as train.py do_epoch:
+        # sync on step i only after step i+1 is dispatched so the next
+        # batch's host xform runs under the device step
+        pending = None
+
+        def drain_pending():
+            nonlocal pending, total_loss, counter
+            if pending is None:
+                return
+            j, metrics, bsz = pending
+            pending = None
+            loss = float(metrics["loss"])
+            ar = float(metrics["ar_loss"])
+            cl = float(metrics["clip_loss"])
+            if is_main:
+                if logger is not None and j % config.log_batch_loss == 0:
+                    offline_losses["batch_losses"].append(
+                        logger.log_metric(
+                            f"{partition}_batch_loss", loss,
+                            dataset_epoch=epoch, step=j, tags={"n_toks": n_toks},
+                        )
+                    )
+                    offline_losses["ar_losses"].append(
+                        logger.log_metric(
+                            f"{partition}_ar_loss", ar,
+                            dataset_epoch=epoch, step=j, tags={"n_toks": n_toks},
+                        )
+                    )
+                    offline_losses["clip_losses"].append(
+                        logger.log_metric(
+                            f"{partition}_clr_loss", cl,
+                            dataset_epoch=epoch, step=j, tags={"n_toks": n_toks},
+                        )
+                    )
+                if j % config.log_interval == 0:
+                    print(
+                        f"Epoch {epoch} \t it {j} \t ar_l: {ar:.2f}, "
+                        f"clr_l {cl:.6f}, loss {loss:.4f} \t "
+                        f"grads_ps {ng / max(time.time() - t0, 1e-6):.4f}"
+                    )
+            total_loss += loss * bsz
+            counter += bsz
+
         for i, batch in enumerate(pipe):
             if max_steps_per_epoch is not None and i >= max_steps_per_epoch:
                 break
@@ -435,10 +478,9 @@ def train_coati2(
                 global_step += 1
             else:
                 _, _, metrics = step_eval(params, opt_state, step_rng, device_batch)
-            loss = float(metrics["loss"])
-            ar = float(metrics["ar_loss"])
-            cl = float(metrics["clip_loss"])
+            drain_pending()
             bsz = batch["tokens"].shape[0]
+            pending = (i, metrics, bsz)
             # counters advance on every process so the orbax-collective
             # cadence fires in lockstep across hosts
             if partition == "train":
@@ -450,34 +492,7 @@ def train_coati2(
                     if is_main:
                         checkpoint({"train_epoch": str(epoch)})
                     orbax_checkpoint(epoch)
-            if is_main:
-                if logger is not None and i % config.log_batch_loss == 0:
-                    offline_losses["batch_losses"].append(
-                        logger.log_metric(
-                            f"{partition}_batch_loss", loss,
-                            dataset_epoch=epoch, step=i, tags={"n_toks": n_toks},
-                        )
-                    )
-                    offline_losses["ar_losses"].append(
-                        logger.log_metric(
-                            f"{partition}_ar_loss", ar,
-                            dataset_epoch=epoch, step=i, tags={"n_toks": n_toks},
-                        )
-                    )
-                    offline_losses["clip_losses"].append(
-                        logger.log_metric(
-                            f"{partition}_clr_loss", cl,
-                            dataset_epoch=epoch, step=i, tags={"n_toks": n_toks},
-                        )
-                    )
-                if i % config.log_interval == 0:
-                    print(
-                        f"Epoch {epoch} \t it {i} \t ar_l: {ar:.2f}, "
-                        f"clr_l {cl:.6f}, loss {loss:.4f} \t "
-                        f"grads_ps {ng / max(time.time() - t0, 1e-6):.4f}"
-                    )
-            total_loss += loss * bsz
-            counter += bsz
+        drain_pending()
         return total_loss / counter if counter else None
 
     for epoch in range(start_epoch, config.n_epochs):
