@@ -71,29 +71,36 @@ def sample_top_k(
     optional nucleus (top-p) truncation applied within the top-k
     candidates AFTER temperature, mirroring common serving stacks.
 
-    Sampling runs in the (..., k) CANDIDATE space: the categorical draw
-    happens over the k extracted values and the winner maps back
-    through the candidate indices. The distribution is identical to
-    masking the full row to -inf and drawing vocab-wide (the masked
-    row's softmax support IS the candidate set — top_k_filter /
-    top_p_filter keep that reference formulation for the tests); the
-    candidate form also keeps the per-step cost in the top-k reduction
-    itself rather than spreading it over full-vocab masks.
+    Exact path (approx=False, and always under nucleus): sampling runs
+    in the (..., k) CANDIDATE space — the categorical draw happens over
+    the k extracted values and the winner maps back through the
+    candidate indices. Distribution-identical to masking the full row
+    to -inf and drawing vocab-wide (the masked row's softmax support IS
+    the candidate set; top_k_filter / top_p_filter keep that reference
+    formulation for the tests).
 
-    With approx=True the candidate set is lax.approx_max_k's:
-    per-element recall `recall_target` — a few true top-k members may
-    be swapped for near-threshold ones. The reduction cost scales
-    steeply with the target on TPU (B=1024 x 13,603: 1.06 ms at 0.95,
-    0.45 ms at 0.80 — PERF.md decode decomposition); per-block maxima
-    are always retained, so the high-probability head of the
-    distribution survives any target."""
+    Approx path: the k-th value from lax.approx_max_k (per-element
+    recall `recall_target`; cost scales steeply with the target on TPU
+    — B=1024 x 13,603: 1.06 ms at 0.95, 0.45 at 0.80, PERF.md decode
+    decomposition) is used as a THRESHOLD over the full row, exactly
+    the old top_k_filter formulation. The threshold set is a SUPERSET
+    of the true top-k whenever approx_max_k under-reaches (a missed
+    true member's logit necessarily clears the lowered threshold), so
+    lowering recall_target can only ADMIT extra near-threshold
+    candidates, never silence a true top-k token — the property that
+    makes recall a safe throughput knob even on flat logits. The
+    full-vocab categorical this requires measured ~free next to the
+    reduction itself (1.068 vs 1.041 ms/step)."""
     nucleus = top_p is not None and top_p < 1.0
     lf = logits.astype(jnp.float32)
-    # nucleus needs the EXACT candidate set (see top_p_filter)
     if approx and not nucleus:
-        vals, idxs = jax.lax.approx_max_k(lf, k, recall_target=recall_target)
-    else:
-        vals, idxs = jax.lax.top_k(lf, k)
+        kth = jax.lax.approx_max_k(lf, k, recall_target=recall_target)[0][
+            ..., -1:
+        ]
+        masked = jnp.where(lf >= kth, lf, -jnp.inf) * inv_temp
+        return jax.random.categorical(rng, masked, axis=-1)
+    # nucleus needs the EXACT candidate set (see top_p_filter)
+    vals, idxs = jax.lax.top_k(lf, k)
     scaled = vals * inv_temp  # sorted descending
     if nucleus:
         probs = jax.nn.softmax(scaled, axis=-1)

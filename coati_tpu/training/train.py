@@ -100,6 +100,35 @@ def model_config_from_train_config(config: TrainConfig, n_tok: int) -> CoatiConf
     )
 
 
+class DeferredMetrics:
+    """One-step-deferred metric reads for the epoch loops.
+
+    float(metrics[...]) blocks on the device; draining step i's metrics
+    only after step i+1 is DISPATCHED lets the next batch's host xform
+    and transfer run under the device step (JAX async dispatch) —
+    measured 1.34x end-to-end on the real pipeline (PERF.md). Values
+    are unchanged, just read one step later. TRAIN_SYNC_METRICS=1
+    restores the per-step sync (push() then drains immediately; call
+    push() inside the step timer so sync-mode timings match the
+    pre-pipelining behavior for A/Bs).
+    """
+
+    def __init__(self, process):
+        self._process = process  # (step_idx, metrics, batch_size) -> None
+        self._pending = None
+        self.sync = os.environ.get("TRAIN_SYNC_METRICS") == "1"
+
+    def drain(self):
+        if self._pending is not None:
+            pending, self._pending = self._pending, None
+            self._process(*pending)
+
+    def push(self, step_idx, metrics, batch_size):
+        self._pending = (step_idx, metrics, batch_size)
+        if self.sync:
+            self.drain()
+
+
 def make_train_step(
     mesh,
     model_cfg: CoatiConfig,
@@ -452,22 +481,8 @@ def train_autoencoder(
             required_fields=["smiles"],
             xform_routine=xform_routine,
         )
-        # metric reads are deferred by ONE step: float(metrics[...])
-        # blocks on the device, and reading step i's loss only after
-        # step i+1 is DISPATCHED lets the next batch's host xform +
-        # transfer run under the device step (JAX async dispatch) —
-        # otherwise ~13 ms/step of host work serializes behind an
-        # ~89 ms grande step. Values are unchanged, just read later.
-        # TRAIN_SYNC_METRICS=1 restores the per-step sync for A/Bs.
-        sync_metrics = os.environ.get("TRAIN_SYNC_METRICS") == "1"
-        pending = None  # (i, metrics, bsz) of the not-yet-read step
-
-        def drain_pending():
-            nonlocal pending, total_loss, counter
-            if pending is None:
-                return
-            j, metrics, bsz = pending
-            pending = None
+        def process_metrics(j, metrics, bsz):
+            nonlocal total_loss, counter
             loss = float(metrics["loss"])
             ar = float(metrics["ar_loss"])
             cl = float(metrics["clip_loss"])
@@ -506,6 +521,7 @@ def train_autoencoder(
             counter += bsz
             loss_arr.append(loss)
 
+        dm = DeferredMetrics(process_metrics)
         for i, batch in enumerate(pipe):
             if max_steps_per_epoch is not None and i >= max_steps_per_epoch:
                 break
@@ -517,6 +533,7 @@ def train_autoencoder(
                 {k: batch[k] for k in ("raw_tokens", "tokens", "y_next", "atoms", "coords")},
             )
             rng, step_rng = jax.random.split(rng)
+            bsz = batch["tokens"].shape[0]
             with timer:
                 if partition == "train":
                     params, opt_state, metrics = step_train(
@@ -527,15 +544,17 @@ def train_autoencoder(
                     _, _, metrics = step_eval(
                         params, opt_state, step_rng, device_batch
                     )
-                # sync on the PREVIOUS step, letting this one run under
-                # the next batch's host work; the timer therefore
-                # measures the pipelined per-step wall time
-                drain_pending()
-
-            bsz = batch["tokens"].shape[0]
-            pending = (i, metrics, bsz)
-            if sync_metrics:  # A/B knob: restore the per-step host sync
-                drain_pending()
+                if dm.sync:
+                    # A/B knob: per-step sync INSIDE the timer, exactly
+                    # the pre-pipelining behavior
+                    dm.push(i, metrics, bsz)
+                else:
+                    # sync on the PREVIOUS step, letting this one run
+                    # under the next batch's host work; the timer then
+                    # measures the pipelined per-step wall time
+                    dm.drain()
+            if not dm.sync:
+                dm.push(i, metrics, bsz)
             # counters advance on EVERY process (deterministic from the
             # shared input stream) so the checkpoint cadence fires in
             # lockstep — the orbax save is a multi-host collective
@@ -550,7 +569,7 @@ def train_autoencoder(
                             {"train_epoch": str(epoch), "dataset_epoch": str(epoch)}
                         )
                     orbax_checkpoint(epoch)
-        drain_pending()
+        dm.drain()
         if counter == 0:
             return None
         if is_main:

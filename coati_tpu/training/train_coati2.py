@@ -56,7 +56,12 @@ from coati_tpu.parallel.mesh import make_mesh, shard_batch
 from coati_tpu.tokenizers import get_vocab
 from coati_tpu.tokenizers.trie_tokenizer import TrieTokenizer
 from coati_tpu.training.logger import COATILogger
-from coati_tpu.training.train import cosine_lr, make_optimizer, set_learning_rate
+from coati_tpu.training.train import (
+    DeferredMetrics,
+    cosine_lr,
+    make_optimizer,
+    set_learning_rate,
+)
 
 
 @dataclass
@@ -420,17 +425,12 @@ def train_coati2(
             required_fields=["smiles"],
             xform_routine=xform_routine,
         )
-        # deferred metric reads, same pipelining as train.py do_epoch:
-        # sync on step i only after step i+1 is dispatched so the next
-        # batch's host xform runs under the device step
-        pending = None
-
-        def drain_pending():
-            nonlocal pending, total_loss, counter
-            if pending is None:
-                return
-            j, metrics, bsz = pending
-            pending = None
+        # deferred metric reads, same pipelining as train.py do_epoch
+        # (DeferredMetrics: sync on step i only after step i+1 is
+        # dispatched so the next batch's host xform runs under the
+        # device step; TRAIN_SYNC_METRICS=1 restores per-step syncs)
+        def process_metrics(j, metrics, bsz):
+            nonlocal total_loss, counter
             loss = float(metrics["loss"])
             ar = float(metrics["ar_loss"])
             cl = float(metrics["clip_loss"])
@@ -463,6 +463,7 @@ def train_coati2(
             total_loss += loss * bsz
             counter += bsz
 
+        dm = DeferredMetrics(process_metrics)
         for i, batch in enumerate(pipe):
             if max_steps_per_epoch is not None and i >= max_steps_per_epoch:
                 break
@@ -471,6 +472,7 @@ def train_coati2(
                 {k: batch[k] for k in ("tokens", "raw_tokens", "rand_tokens", "y_next")},
             )
             rng, step_rng = jax.random.split(rng)
+            bsz = batch["tokens"].shape[0]
             if partition == "train":
                 params, opt_state, metrics = step_train(
                     params, opt_state, step_rng, device_batch
@@ -478,9 +480,9 @@ def train_coati2(
                 global_step += 1
             else:
                 _, _, metrics = step_eval(params, opt_state, step_rng, device_batch)
-            drain_pending()
-            bsz = batch["tokens"].shape[0]
-            pending = (i, metrics, bsz)
+            if not dm.sync:
+                dm.drain()  # previous step; this one runs under host work
+            dm.push(i, metrics, bsz)
             # counters advance on every process so the orbax-collective
             # cadence fires in lockstep across hosts
             if partition == "train":
@@ -492,7 +494,7 @@ def train_coati2(
                     if is_main:
                         checkpoint({"train_epoch": str(epoch)})
                     orbax_checkpoint(epoch)
-        drain_pending()
+        dm.drain()
         return total_loss / counter if counter else None
 
     for epoch in range(start_epoch, config.n_epochs):

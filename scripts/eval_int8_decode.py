@@ -71,6 +71,10 @@ def main():
         n_hidden_e3nn=16, n_embd_common=128, n_head=4, n_seq=n_seq,
         n_tok=tok.n_token, norm_clips=True, token_mlp=True,
         use_point_encoder=False,
+        # pin the BASELINE rows above the production default (0.8) so
+        # the explicit recall0.8 row isolates the knob — otherwise the
+        # fp32 reference itself runs at 0.8 and the A/B is vacuous
+        topk_recall=0.95,
     )
     params = init_coati(jax.random.PRNGKey(0), cfg)
 
@@ -159,9 +163,16 @@ def main():
 
     # ---- candidate-mass fidelity of the lowered recall target -------
     # On TRAINED logits (first-step AR distribution over the corpus):
-    # the sampled distribution's total-variation shift from exact top-k
-    # is bounded by the softmax-mass difference of the candidate sets,
-    # so report sum softmax(inv_temp * logits)[candidates] per target.
+    # report sum softmax(inv_temp * logits) over each candidate set.
+    # NOTE on interpretation: lowering recall only matters when mass
+    # drops visibly below the exact top-k's — with both masses ~1.0 the
+    # truncated-and-renormalized sampling distributions are essentially
+    # the same; when masses diverge (flat-logit models) this report
+    # does NOT bound the distortion and the recall target should stay
+    # high. (Production sampling additionally uses the k-th value as a
+    # THRESHOLD, ops/sampling.py — a superset of the true top-k — so a
+    # missed member is re-admitted; the mass here is the conservative
+    # candidate-set-only view.)
     from coati_tpu.models.transformer import forward_logits
 
     logits = forward_logits(params.xformer, cfg.xformer_config, jnp.asarray(raw))
@@ -176,8 +187,8 @@ def main():
             _, idxs = jax.lax.approx_max_k(last, k, recall_target=rt)
             mass = jnp.take_along_axis(probs, idxs, axis=-1).sum(-1)
             print(f"  recall_target {rt}: mean mass {float(mass.mean()):.6f} "
-                  f"(min {float(mass.min()):.6f}) — TV shift vs exact <= "
-                  f"{float((exact_mass - mass).mean()):.2e}")
+                  f"(min {float(mass.min()):.6f}; vs exact "
+                  f"{float((exact_mass - mass).mean()):.2e})")
 
     return results
 

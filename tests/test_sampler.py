@@ -449,3 +449,55 @@ def test_sample_top_k_matches_reference_distribution():
     for p, i in zip(probs, np.asarray(idxs)):
         sigma = np.sqrt(n * p * (1 - p))
         assert abs(counts[i] - n * p) < 4 * sigma + 1, (i, counts[i], n * p)
+
+
+def test_sample_top_k_approx_threshold_distribution():
+    """The approx path masks by approx_max_k's k-th VALUE (a superset
+    of the true top-k — lowering recall can only admit extra
+    candidates, never silence a true member). On CPU approx_max_k
+    falls back to exact, so the draw must match the reference top-k
+    distribution exactly (same statistical bound as the exact path)."""
+    from coati_tpu.ops.sampling import sample_top_k
+
+    rng = np.random.default_rng(7)
+    vocab, k, inv_temp, n = 30, 10, 2.0, 40_000
+    logits = jnp.asarray(rng.normal(size=(vocab,)).astype(np.float32))
+    keys = jax.random.split(jax.random.PRNGKey(2), n)
+    draws = np.asarray(
+        jax.vmap(
+            lambda kk: sample_top_k(kk, logits, k, inv_temp, approx=True)
+        )(keys)
+    )
+    vals, idxs = jax.lax.top_k(logits, k)
+    probs = np.asarray(jax.nn.softmax(vals * inv_temp))
+    counts = np.bincount(draws, minlength=vocab).astype(float)
+    outside = np.ones(vocab, bool)
+    outside[np.asarray(idxs)] = False
+    assert counts[outside].sum() == 0
+    for p, i in zip(probs, np.asarray(idxs)):
+        sigma = np.sqrt(n * p * (1 - p))
+        assert abs(counts[i] - n * p) < 4 * sigma + 1, (i, counts[i], n * p)
+
+
+def test_topk_recall_plumbs_through_generate():
+    """cfg.topk_recall reaches the sampler (no trace error) and, on the
+    CPU exact fallback, any target yields identical tokens."""
+    import functools
+
+    from coati_tpu.models.sampler import generate_tokens
+
+    _, params = make_pair(seed=23)
+    b = 4
+    tokens0 = jnp.zeros((b, 16), jnp.int32).at[:, 0].set(5)
+    plen = jnp.full((b,), 1, jnp.int32)
+
+    def gen(cfg):
+        g = functools.partial(
+            generate_tokens, prefill_len=1, total_len=16, stop_token=STOP,
+            pad_token=PAD, k=8, inv_temp=1.0,
+        )
+        return np.asarray(g(params, cfg, jax.random.PRNGKey(3), tokens0, plen))
+
+    cfg_hi = CFG.replace(topk_recall=0.95)
+    cfg_lo = CFG.replace(topk_recall=0.7)
+    np.testing.assert_array_equal(gen(cfg_hi), gen(cfg_lo))
