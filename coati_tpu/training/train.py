@@ -39,6 +39,7 @@ from coati_tpu.parallel.mesh import make_mesh, shard_batch
 from coati_tpu.tokenizers import get_vocab
 from coati_tpu.tokenizers.trie_tokenizer import TrieTokenizer
 from coati_tpu.training.config import TrainConfig
+from coati_tpu.training.flops import coati_train_step_model_flops
 from coati_tpu.training.logger import COATILogger
 
 
@@ -473,6 +474,7 @@ def train_autoencoder(
         timer = step_timer()
         t0 = time.time()
         total_loss, counter, loss_arr, ng = 0.0, 0, [], 0
+        total_model_flops = 0.0  # analytic fwd+bwd FLOPs (training/flops.py)
         # global batch = per-device batch * n_shards, matching the
         # reference's per-GPU batch semantics
         pipe = dataset.get_data_pipe(
@@ -534,6 +536,17 @@ def train_autoencoder(
             )
             rng, step_rng = jax.random.split(rng)
             bsz = batch["tokens"].shape[0]
+            if partition == "train":
+                total_model_flops += coati_train_step_model_flops(
+                    n_layer_xformer=config.n_layer_xformer,
+                    n_hidden_xformer=config.n_hidden_xformer,
+                    n_layer_e3gnn=config.n_layer_e3gnn,
+                    n_hidden_e3nn=config.n_hidden_e3nn,
+                    n_tok=tokenizer.n_token,
+                    batch=bsz,
+                    seq=batch["tokens"].shape[1],
+                    natoms=batch["atoms"].shape[1],
+                )
             with timer:
                 if partition == "train":
                     params, opt_state, metrics = step_train(
@@ -579,8 +592,20 @@ def train_autoencoder(
                     f"{partition} epoch mean loss", total_loss / counter,
                     dataset_epoch=epoch,
                 )
+                stats = timer.emit()
+                if partition == "train" and total_model_flops:
+                    # observability: achieved model-FLOPs throughput per
+                    # chip over the epoch wall (incl. host/checkpoint
+                    # time); compare against the device's measured
+                    # matmul ceiling for an MFU estimate (PERF.md)
+                    stats["model_tflops_per_sec_per_chip"] = (
+                        total_model_flops
+                        / max(time.time() - t0, 1e-9)
+                        / n_shards
+                        / 1e12
+                    )
                 logger.log_metrics(
-                    {f"{partition}_{k}": v for k, v in timer.emit().items()},
+                    {f"{partition}_{k}": v for k, v in stats.items()},
                     dataset_epoch=epoch,
                 )
         return total_loss / counter
