@@ -204,8 +204,16 @@ def due_objective(due_model, scale: float = 1.0):
     from coati_tpu.regression.due import fc_resnet_apply, svgp_predict_f
 
     params, cfg = due_model.params, due_model.config
+    d_in = int(params.net.first_w.shape[0])
 
     def fn(v):
+        if v.shape[-1] != d_in:
+            raise ValueError(
+                f"DUE property model expects {d_in}-d embeddings but the "
+                f"COATI model produced {v.shape[-1]}-d — the published "
+                f"due_*_barlow.pt artifacts were trained on barlow_closed's "
+                f"256-d space; pair them with a matching model document"
+            )
         feats, _ = fc_resnet_apply(
             params.net, v[None, :], cfg.coeff,
             spectral_first=cfg.spectral_first,

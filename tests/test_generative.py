@@ -177,3 +177,27 @@ def test_roc_data_without_altair():
     df = pd.DataFrame({"y": y, "y_pred": pred})
     out = roc_data(df)
     assert out.attrs["auROC"] > 0.7
+
+
+def test_due_objective_rejects_mismatched_embedding_dim():
+    """Pairing a COATI doc with DUE heads trained on a different
+    embedding width must fail with a clear message, not a cryptic
+    dot_general shape error (found smoke-testing the metadynamics
+    example with the published 256-d barlow DUE artifacts)."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    import numpy as np
+
+    from coati_tpu.generative.metadynamics import due_objective
+    from coati_tpu.regression.due import DueConfig, train_due
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(64, 16)).astype(np.float32)
+    y = rng.normal(size=(64,)).astype(np.float32)
+    cfg = DueConfig(input_dim=16, features=8, depth=1, n_inducing=4)
+    model = train_due(x, y, config=cfg, steps=2, batch_size=16, verbose=False)
+    fn = due_objective(model)
+    with pytest.raises(ValueError, match="expects 16-d"):
+        fn(jnp.zeros((32,)))
