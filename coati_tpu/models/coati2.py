@@ -375,7 +375,8 @@ class COATI2:
             top_p=top_p,
         )
         out = np.asarray(out)[:n_real]
-        smiles = [tokenizer.decode(list(r), special=keep_special) for r in out]
+        # vectorized detokenization (decode_batch, PERF.md)
+        smiles = tokenizer.decode_batch(out, special=keep_special)
         if return_tokens:
             return smiles, [list(map(int, r)) for r in out]
         return smiles

@@ -284,6 +284,11 @@ def _use_flash(cfg: TransformerConfig, t: int) -> bool:
             f"prefill_kernel must be 'auto', 'xla' or 'pallas', got "
             f"{cfg.prefill_kernel!r}"
         )
+    if cfg.precision != "default":
+        # parity configs (precision="highest") need full-f32 matmul
+        # passes, which the kernel's dot_generals don't honor — auto
+        # never trades parity for speed; force with "pallas" if wanted
+        return False
     return on_tpu() and flash_supported(t, cfg.n_head, cfg.head_dim)
 
 

@@ -77,7 +77,11 @@ def sample_top_k(
     candidate indices. Distribution-identical to masking the full row
     to -inf and drawing vocab-wide (the masked row's softmax support IS
     the candidate set; top_k_filter / top_p_filter keep that reference
-    formulation for the tests).
+    formulation for the tests). Tie semantics: lax.top_k keeps EXACTLY
+    k candidates (boundary ties broken by lower index) — the same
+    semantics as the reference's torch.topk + multinomial
+    (smiles_xformer.py:305-311); a value-threshold mask would instead
+    admit every token tied at the k-th value.
 
     Approx path: the k-th value from lax.approx_max_k (per-element
     recall `recall_target`; cost scales steeply with the target on TPU

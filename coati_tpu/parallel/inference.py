@@ -135,4 +135,6 @@ class ShardedCOATI:
             top_p=top_p,
         )
         out = np.asarray(out)[:b]
-        return [tokenizer.decode(list(r), special=keep_special) for r in out]
+        # vectorized detokenization (decode_batch: ~7x faster than the
+        # per-row loop at generation batch sizes, PERF.md)
+        return tokenizer.decode_batch(out, special=keep_special)

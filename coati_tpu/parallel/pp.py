@@ -254,7 +254,9 @@ def make_pp_coati_train_step(
     has_data = data_axis in mesh.axis_names and mesh.shape[data_axis] > 1
     batch_spec = P(data_axis) if has_data else P()
     p_specs = pp_coati_param_specs(params_template)
-    xcfg = model_cfg.xformer_config
+    # differentiated path: never auto-select the flash prefill kernel
+    # (its custom VJP replays the XLA forward — flash_attention.py)
+    xcfg = model_cfg.xformer_config.replace(prefill_kernel="xla")
 
     from coati_tpu.models import coati as F
 
@@ -380,6 +382,9 @@ def make_pp_ar_train_step(
     per-device grads exactly the local-batch contribution), and
     replicated leaves additionally psum over `pipe` (block grads are
     stage-local-complete by construction)."""
+    # differentiated path: never auto-select the flash prefill kernel
+    # (its custom VJP replays the XLA forward — flash_attention.py)
+    cfg = cfg.replace(prefill_kernel="xla")
     n_stages = mesh.shape[pipe_axis]
     has_data = data_axis in mesh.axis_names and mesh.shape[data_axis] > 1
     batch_spec = P(data_axis) if has_data else P()

@@ -97,6 +97,7 @@ def _fake_module(name: str) -> types.ModuleType:
 
     mod.__getattr__ = _getattr
     mod.__path__ = []  # mark as package so submodule imports resolve
+    mod.__coati_stub__ = True  # lets _stubs_installed evict on exit
     return mod
 
 
@@ -118,12 +119,31 @@ class _StubImporter:
         pass
 
 
-def _install_stubs():
-    # appended at the END of sys.meta_path: real installations of
-    # due/gpytorch/linear_operator always win; stubs only serve imports
-    # that would otherwise fail
-    if not any(isinstance(f, _StubImporter) for f in sys.meta_path):
-        sys.meta_path.append(_StubImporter())
+class _stubs_installed:
+    """Context manager scoping the stub finder to the unpickle: a
+    process-lifetime finder would make every later `import gpytorch`
+    silently succeed with fakes, turning a clean ImportError elsewhere
+    into confusing None-propagation. Appended at the END of
+    sys.meta_path, so real installations always win even inside the
+    scope; removed on exit (stub MODULES cached in sys.modules by the
+    unpickle are also evicted so nothing fake leaks)."""
+
+    def __enter__(self):
+        self._finder = None
+        if not any(isinstance(f, _StubImporter) for f in sys.meta_path):
+            self._finder = _StubImporter()
+            sys.meta_path.append(self._finder)
+        return self
+
+    def __exit__(self, *exc):
+        if self._finder is not None:
+            sys.meta_path.remove(self._finder)
+            for name in [
+                n for n in sys.modules
+                if n.split(".")[0] in _STUB_PREFIXES
+                and getattr(sys.modules[n], "__coati_stub__", False)
+            ]:
+                del sys.modules[name]
 
 
 # ------------------------------------------------- module-tree walking
@@ -182,8 +202,8 @@ def load_torch_due(path: str) -> DueModel:
     basic_due.py save_as format) and convert it to a JAX DueModel."""
     import torch
 
-    _install_stubs()
-    obj = torch.load(path, map_location="cpu", weights_only=False)
+    with _stubs_installed():
+        obj = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(obj, dict):  # a state_dict
         sd = {
             k: v.detach().cpu().numpy()

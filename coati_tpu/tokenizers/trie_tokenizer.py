@@ -178,16 +178,18 @@ class TrieTokenizer:
             lut[: len(self.special_tokens)] = True
             self._special_lut = lut
         b, t = raw.shape
-        if raw.min() < 0 or raw.max() >= self.n_token:
+        if raw.max() >= self.n_token:
             # match scalar decode, which indexes self.keys and raises —
             # silently clipping would decode corrupted ids as the last
             # vocab token and mask a wrong-tokenizer/model pairing
-            bad = raw[(raw < 0) | (raw >= self.n_token)]
+            bad = raw[raw >= self.n_token]
             raise IndexError(
                 f"decode_batch: token id(s) out of range [0, {self.n_token}): "
                 f"{np.unique(bad)[:8].tolist()}"
             )
-        toks = raw
+        # negatives (e.g. the -1 label sentinel in y_next arrays) are
+        # dropped exactly like [PAD]: scalar decode's `t > 0` filter
+        toks = np.where(raw < 0, 0, raw)
         if end_at_stop:
             is_stop = toks == self.stop_token
             # row length INCLUDING the stop token (decode keeps it)

@@ -130,6 +130,73 @@ class DeferredMetrics:
             self.drain()
 
 
+def make_epoch_metrics_processor(
+    *,
+    config,
+    logger,
+    offline_losses,
+    partition: str,
+    epoch: int,
+    is_main: bool,
+    totals: dict,
+    get_counters,
+    clip_metric: str = "clip_loss",
+    clip_label: str = "clip_l",
+    log_clip: bool = True,
+    loss_arr=None,
+):
+    """Build the (step_idx, metrics, batch_size) processor both epoch
+    loops hand to DeferredMetrics: reads the three scalar losses,
+    appends the JSONL offline-loss records, prints the periodic line,
+    and accumulates totals["loss"]/["count"]. `get_counters` returns the
+    loop's live (n_toks, ng, t0) for the log tags/rates; `loss_arr`
+    (COATI1) enables the 10-step loss smoothing in the printout."""
+
+    def process(j, metrics, bsz):
+        loss = float(metrics["loss"])
+        ar = float(metrics["ar_loss"])
+        cl = float(metrics["clip_loss"])
+        if is_main:
+            n_toks, ng, t0 = get_counters()
+            if logger is not None and j % config.log_batch_loss == 0:
+                tags = {"n_toks": n_toks}
+                offline_losses["batch_losses"].append(
+                    logger.log_metric(
+                        f"{partition}_batch_loss", loss,
+                        dataset_epoch=epoch, step=j, tags=tags,
+                    )
+                )
+                offline_losses["ar_losses"].append(
+                    logger.log_metric(
+                        f"{partition}_ar_loss", ar,
+                        dataset_epoch=epoch, step=j, tags=tags,
+                    )
+                )
+                if log_clip:
+                    offline_losses["clip_losses"].append(
+                        logger.log_metric(
+                            f"{partition}_{clip_metric}", cl,
+                            dataset_epoch=epoch, step=j, tags=tags,
+                        )
+                    )
+            if j % config.log_interval == 0:
+                prefix = "" if partition == "train" else f">> {partition} \t"
+                recent = (loss_arr[-10:] if loss_arr else None) or [loss]
+                print(
+                    prefix
+                    + f"Epoch {epoch} \t it {j} \t toks {n_toks // 10**6}m "
+                    f"\t ar_l: {ar:.2f}, {clip_label} {cl:.6f}, "
+                    f"loss {sum(recent) / len(recent):.4f} \t "
+                    f"grads_ps {ng / max(time.time() - t0, 1e-6):.4f}"
+                )
+        totals["loss"] += loss * bsz
+        totals["count"] += bsz
+        if loss_arr is not None:
+            loss_arr.append(loss)
+
+    return process
+
+
 def make_train_step(
     mesh,
     model_cfg: CoatiConfig,
@@ -473,7 +540,7 @@ def train_autoencoder(
 
         timer = step_timer()
         t0 = time.time()
-        total_loss, counter, loss_arr, ng = 0.0, 0, [], 0
+        loss_arr, ng = [], 0
         total_model_flops = 0.0  # analytic fwd+bwd FLOPs (training/flops.py)
         # global batch = per-device batch * n_shards, matching the
         # reference's per-GPU batch semantics
@@ -483,45 +550,14 @@ def train_autoencoder(
             required_fields=["smiles"],
             xform_routine=xform_routine,
         )
-        def process_metrics(j, metrics, bsz):
-            nonlocal total_loss, counter
-            loss = float(metrics["loss"])
-            ar = float(metrics["ar_loss"])
-            cl = float(metrics["clip_loss"])
-            if is_main:
-                if logger is not None and j % config.log_batch_loss == 0:
-                    offline_losses["batch_losses"].append(
-                        logger.log_metric(
-                            f"{partition}_batch_loss", loss,
-                            dataset_epoch=epoch, step=j, tags={"n_toks": n_toks},
-                        )
-                    )
-                    offline_losses["ar_losses"].append(
-                        logger.log_metric(
-                            f"{partition}_ar_loss", ar,
-                            dataset_epoch=epoch, step=j, tags={"n_toks": n_toks},
-                        )
-                    )
-                    if config.do_clip:
-                        offline_losses["clip_losses"].append(
-                            logger.log_metric(
-                                f"{partition}_clip_loss", cl,
-                                dataset_epoch=epoch, step=j, tags={"n_toks": n_toks},
-                            )
-                        )
-                if j % config.log_interval == 0:
-                    prefix = "" if partition == "train" else f">> {partition} \t"
-                    recent = loss_arr[-10:] or [loss]
-                    print(
-                        prefix
-                        + f"Epoch {epoch} \t it {j} \t toks {n_toks // 10**6}m "
-                        f"\t ar_l: {ar:.2f}, clip_l {cl:.6f}, "
-                        f"loss {sum(recent) / len(recent):.4f} \t "
-                        f"grads_ps {ng / max(time.time() - t0, 1e-6):.4f}"
-                    )
-            total_loss += loss * bsz
-            counter += bsz
-            loss_arr.append(loss)
+        totals = {"loss": 0.0, "count": 0}
+        process_metrics = make_epoch_metrics_processor(
+            config=config, logger=logger, offline_losses=offline_losses,
+            partition=partition, epoch=epoch, is_main=is_main,
+            totals=totals,
+            get_counters=lambda: (n_toks, ng, t0),
+            log_clip=config.do_clip, loss_arr=loss_arr,
+        )
 
         dm = DeferredMetrics(process_metrics)
         for i, batch in enumerate(pipe):
@@ -583,13 +619,13 @@ def train_autoencoder(
                         )
                     orbax_checkpoint(epoch)
         dm.drain()
-        if counter == 0:
+        if totals["count"] == 0:
             return None
         if is_main:
             print(f"epoch completed in {ng} grads and {time.time() - t0} seconds")
             if logger is not None:
                 logger.log_metric(
-                    f"{partition} epoch mean loss", total_loss / counter,
+                    f"{partition} epoch mean loss", totals["loss"] / totals["count"],
                     dataset_epoch=epoch,
                 )
                 stats = timer.emit()
@@ -608,7 +644,7 @@ def train_autoencoder(
                     {f"{partition}_{k}": v for k, v in stats.items()},
                     dataset_epoch=epoch,
                 )
-        return total_loss / counter
+        return totals["loss"] / totals["count"]
 
     for epoch in range(start_epoch, config.n_epochs):
         opt_state = set_learning_rate(opt_state, cosine_lr(config, epoch))

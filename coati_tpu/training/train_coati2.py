@@ -59,6 +59,7 @@ from coati_tpu.training.logger import COATILogger
 from coati_tpu.training.train import (
     DeferredMetrics,
     cosine_lr,
+    make_epoch_metrics_processor,
     make_optimizer,
     set_learning_rate,
 )
@@ -418,50 +419,21 @@ def train_coati2(
     def do_epoch(epoch: int, partition: str) -> Optional[float]:
         nonlocal rng, params, opt_state, n_toks, ngrad_updates, global_step
         t0 = time.time()
-        total_loss, counter, ng = 0.0, 0, 0
+        ng = 0
         pipe = dataset.get_data_pipe(
             batch_size=config.batch_size * n_shards,
             partition=partition,
             required_fields=["smiles"],
             xform_routine=xform_routine,
         )
-        # deferred metric reads, same pipelining as train.py do_epoch
-        # (DeferredMetrics: sync on step i only after step i+1 is
-        # dispatched so the next batch's host xform runs under the
-        # device step; TRAIN_SYNC_METRICS=1 restores per-step syncs)
-        def process_metrics(j, metrics, bsz):
-            nonlocal total_loss, counter
-            loss = float(metrics["loss"])
-            ar = float(metrics["ar_loss"])
-            cl = float(metrics["clip_loss"])
-            if is_main:
-                if logger is not None and j % config.log_batch_loss == 0:
-                    offline_losses["batch_losses"].append(
-                        logger.log_metric(
-                            f"{partition}_batch_loss", loss,
-                            dataset_epoch=epoch, step=j, tags={"n_toks": n_toks},
-                        )
-                    )
-                    offline_losses["ar_losses"].append(
-                        logger.log_metric(
-                            f"{partition}_ar_loss", ar,
-                            dataset_epoch=epoch, step=j, tags={"n_toks": n_toks},
-                        )
-                    )
-                    offline_losses["clip_losses"].append(
-                        logger.log_metric(
-                            f"{partition}_clr_loss", cl,
-                            dataset_epoch=epoch, step=j, tags={"n_toks": n_toks},
-                        )
-                    )
-                if j % config.log_interval == 0:
-                    print(
-                        f"Epoch {epoch} \t it {j} \t ar_l: {ar:.2f}, "
-                        f"clr_l {cl:.6f}, loss {loss:.4f} \t "
-                        f"grads_ps {ng / max(time.time() - t0, 1e-6):.4f}"
-                    )
-            total_loss += loss * bsz
-            counter += bsz
+        totals = {"loss": 0.0, "count": 0}
+        process_metrics = make_epoch_metrics_processor(
+            config=config, logger=logger, offline_losses=offline_losses,
+            partition=partition, epoch=epoch, is_main=is_main,
+            totals=totals,
+            get_counters=lambda: (n_toks, ng, t0),
+            clip_metric="clr_loss", clip_label="clr_l",
+        )
 
         dm = DeferredMetrics(process_metrics)
         for i, batch in enumerate(pipe):
@@ -495,7 +467,7 @@ def train_coati2(
                         checkpoint({"train_epoch": str(epoch)})
                     orbax_checkpoint(epoch)
         dm.drain()
-        return total_loss / counter if counter else None
+        return totals["loss"] / totals["count"] if totals["count"] else None
 
     for epoch in range(start_epoch, config.n_epochs):
         opt_state = set_learning_rate(opt_state, cosine_lr(config, epoch))

@@ -26,7 +26,7 @@ torch = pytest.importorskip("torch")
 from coati_tpu.regression.due_import import (  # noqa: E402
     _find_coeff,
     _flatten_module,
-    _install_stubs,
+    _stubs_installed,
     load_due,
     load_torch_due,
 )
@@ -45,8 +45,8 @@ pytestmark = pytest.mark.skipif(
 
 
 def _raw_state(path):
-    _install_stubs()
-    obj = torch.load(path, map_location="cpu", weights_only=False)
+    with _stubs_installed():
+        obj = torch.load(path, map_location="cpu", weights_only=False)
     return _flatten_module(obj), _find_coeff(obj)
 
 

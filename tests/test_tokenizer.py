@@ -144,6 +144,7 @@ def test_decode_batch_matches_scalar_decode():
     rows[5, 12] = tok.stop_token
     rows[6, 2] = tok.suffix_token
     rows[6, 3] = tok.middle_token
+    rows[7, 5] = -1  # y_next label sentinel: dropped like [PAD] (scalar t>0)
     for special in (True, False):
         for end_at_stop in (True, False):
             for de_fim in (True, False):
