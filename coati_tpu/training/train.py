@@ -105,13 +105,16 @@ class DeferredMetrics:
     """One-step-deferred metric reads for the epoch loops.
 
     float(metrics[...]) blocks on the device; draining step i's metrics
-    only after step i+1 is DISPATCHED lets the next batch's host xform
-    and transfer run under the device step (JAX async dispatch) —
-    measured 1.34x end-to-end on the real pipeline (PERF.md). Values
-    are unchanged, just read one step later. TRAIN_SYNC_METRICS=1
-    restores the per-step sync (push() then drains immediately; call
-    push() inside the step timer so sync-mode timings match the
-    pre-pipelining behavior for A/Bs).
+    only after batch i+1's host xform + transfer are done lets that
+    host work run under the device step (JAX async dispatch) —
+    measured 1.33x end-to-end on the real pipeline (PERF.md). Values
+    are unchanged, just read one step later. Drain BEFORE dispatching
+    step i+1: at most one execution stays in flight (this runtime
+    intermittently penalizes a 2-deep dispatch queue — the
+    drain-after-dispatch form measured 0.87x in one session).
+    TRAIN_SYNC_METRICS=1 restores the per-step sync (push() then
+    drains immediately; call push() inside the step timer so sync-mode
+    timings match the pre-pipelining behavior for A/Bs).
     """
 
     def __init__(self, process):
@@ -584,6 +587,14 @@ def train_autoencoder(
                     natoms=batch["atoms"].shape[1],
                 )
             with timer:
+                if not dm.sync:
+                    # drain the PREVIOUS step only now — its device
+                    # execution overlapped this batch's host xform and
+                    # transfer — and BEFORE dispatching the next step,
+                    # keeping at most one execution in flight (this
+                    # runtime slows down with a 2-deep dispatch queue;
+                    # drain-after-dispatch measured 0.87x, PERF.md)
+                    dm.drain()
                 if partition == "train":
                     params, opt_state, metrics = step_train(
                         params, opt_state, step_rng, device_batch
@@ -597,11 +608,6 @@ def train_autoencoder(
                     # A/B knob: per-step sync INSIDE the timer, exactly
                     # the pre-pipelining behavior
                     dm.push(i, metrics, bsz)
-                else:
-                    # sync on the PREVIOUS step, letting this one run
-                    # under the next batch's host work; the timer then
-                    # measures the pipelined per-step wall time
-                    dm.drain()
             if not dm.sync:
                 dm.push(i, metrics, bsz)
             # counters advance on EVERY process (deterministic from the

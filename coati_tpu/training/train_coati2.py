@@ -445,6 +445,11 @@ def train_coati2(
             )
             rng, step_rng = jax.random.split(rng)
             bsz = batch["tokens"].shape[0]
+            if not dm.sync:
+                # drain the PREVIOUS step (its execution overlapped
+                # this batch's host work) BEFORE dispatching the next —
+                # at most one execution in flight (see train.py)
+                dm.drain()
             if partition == "train":
                 params, opt_state, metrics = step_train(
                     params, opt_state, step_rng, device_batch
@@ -452,8 +457,6 @@ def train_coati2(
                 global_step += 1
             else:
                 _, _, metrics = step_eval(params, opt_state, step_rng, device_batch)
-            if not dm.sync:
-                dm.drain()  # previous step; this one runs under host work
             dm.push(i, metrics, bsz)
             # counters advance on every process so the orbax-collective
             # cadence fires in lockstep across hosts
