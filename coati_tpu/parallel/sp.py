@@ -228,6 +228,77 @@ def _check_seq(jitted, cfg: TransformerConfig, n_shards: int):
     return wrapped
 
 
+def make_sp_train_step(
+    mesh: Mesh,
+    cfg: TransformerConfig,
+    optimizer,
+    data_axis: str = "data",
+    seq_axis: str = "seq",
+):
+    """Build a jitted sequence-parallel AR training step.
+
+    (params, opt_state, tokens, y_next) -> (params, opt_state, loss):
+    one optimizer step on the masked next-token cross-entropy
+    (ignore_index -1, the reference loss at
+    coati/training/train_coati.py:260-265), with activations sharded
+    along the sequence axis and attention computed by the ring.
+
+    Gradient flow: the local loss is the UNNORMALIZED per-shard CE sum
+    (no psum inside — the ppermute transpose routes cross-shard K/V
+    cotangents back around the ring, exactly as in
+    tests/test_sequence_parallel.py); grads and the loss/count sums are
+    then psum'd across the mesh and normalized by the global valid-token
+    count, so the step is numerically the single-device step.
+    """
+    import optax
+
+    n_shards = mesh.shape[seq_axis]
+    has_data = data_axis in mesh.axis_names and mesh.shape[data_axis] > 1
+    d_ax = data_axis if has_data else None
+    axes = (seq_axis,) if d_ax is None else (d_ax, seq_axis)
+
+    def local_loss_sum(params, tokens, y_next):
+        hidden = _sp_hidden(params, cfg, tokens, n_shards, None, None, seq_axis)
+        logits = linear(hidden, params.lm_head, None, cfg.mm_precision)
+        mask = (y_next >= 0).astype(jnp.float32)
+        labels = jnp.where(y_next >= 0, y_next, 0)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        ll = jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+        return -jnp.sum(ll * mask), jnp.sum(mask)
+
+    def step(params, opt_state, tokens, y_next):
+        (loss_sum, count), grads = jax.value_and_grad(
+            local_loss_sum, has_aux=True
+        )(params, tokens, y_next)
+        grads = jax.lax.psum(grads, axes)
+        loss_sum = jax.lax.psum(loss_sum, axes)
+        count = jnp.maximum(jax.lax.psum(count, axes), 1.0)
+        grads = jax.tree_util.tree_map(lambda g: g / count, grads)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss_sum / count
+
+    mapped = shard_map(
+        step, mesh=mesh,
+        in_specs=(P(), P(), P(d_ax, seq_axis), P(d_ax, seq_axis)),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    jitted = jax.jit(mapped, donate_argnums=(0, 1))
+
+    def wrapped(params, opt_state, tokens, y_next):
+        t = tokens.shape[1]
+        assert t % n_shards == 0, (
+            f"sequence length {t} must divide evenly into {n_shards} seq shards"
+        )
+        assert t <= cfg.n_seq, (
+            f"sequence length {t} exceeds cfg.n_seq={cfg.n_seq}"
+        )
+        return jitted(params, opt_state, tokens, y_next)
+
+    return wrapped
+
+
 def make_sp_encode(
     mesh: Mesh,
     cfg: TransformerConfig,

@@ -164,6 +164,47 @@ def test_sp_encode_first_stop_and_no_stop_rows():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
 
+def test_sp_train_step_matches_single_device():
+    """One SP AR train step (grads through the ring, psum'd, optimizer
+    applied) equals the single-device step: same loss, same updated
+    params."""
+    import optax
+
+    from coati_tpu.parallel.sp import make_sp_train_step
+
+    cfg = small_cfg()
+    params = init_transformer(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(7)
+    tokens = rng.integers(0, cfg.n_tok, size=(8, cfg.n_seq)).astype(np.int32)
+    y_next = np.zeros_like(tokens)
+    y_next[:, :-1] = tokens[:, 1:]
+    y_next[rng.random(y_next.shape) < 0.2] = -1  # masked positions
+    tokens, y_next = jnp.asarray(tokens), jnp.asarray(y_next)
+
+    def dense_loss(p):
+        logits = T.forward_logits(p, cfg, tokens)
+        mask = (y_next >= 0).astype(jnp.float32)
+        labels = jnp.where(y_next >= 0, y_next, 0)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        ll = jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+        return -jnp.sum(ll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+    opt = optax.adamw(1e-3)
+    want_loss, grads = jax.value_and_grad(dense_loss)(params)
+    updates, _ = opt.update(grads, opt.init(params), params)
+    want_params = optax.apply_updates(params, updates)
+
+    mesh = make_sp_mesh(8, seq=4)
+    step = make_sp_train_step(mesh, cfg, opt)
+    got_params, _, got_loss = step(params, opt.init(params), tokens, y_next)
+    np.testing.assert_allclose(float(got_loss), float(want_loss), rtol=1e-5)
+    for g, w in zip(
+        jax.tree_util.tree_leaves(got_params),
+        jax.tree_util.tree_leaves(want_params),
+    ):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=5e-5)
+
+
 def test_sp_rejects_overlong_sequences():
     cfg = small_cfg()  # n_seq = 32
     params = init_transformer(jax.random.PRNGKey(0), cfg)
