@@ -27,6 +27,56 @@ def make_mesh(
     return Mesh(np.asarray(devices).reshape(shape), axis_names)
 
 
+def make_hybrid_mesh(
+    axis_names: Sequence[str],
+    ici_shape: Sequence[int],
+    dcn_shape: Sequence[int],
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """Multi-slice / multi-host mesh with explicit DCN vs ICI placement
+    (SURVEY §5.8: DP across DCN for multi-slice pods).
+
+    `ici_shape` and `dcn_shape` are per-axis factors (elementwise product
+    = total axis size). Put data-parallel replication factors in
+    `dcn_shape` — that traffic crosses the slow inter-slice network only
+    for gradient reduction — and model/pipe/seq factors in `ici_shape`
+    so tensor collectives ride intra-slice ICI. Wraps
+    jax.experimental.mesh_utils.create_hybrid_device_mesh; granules are
+    TPU slices when devices carry a slice_index (real multi-slice pods)
+    and host processes otherwise (multi-process CPU/dev rigs). A
+    single-granule device set falls back to create_device_mesh with the
+    combined shape.
+
+    Example (2 slices x 4 chips, dp over DCN, tp over ICI):
+        make_hybrid_mesh(("data", "model"), ici_shape=(1, 4),
+                         dcn_shape=(2, 1))
+    """
+    from jax.experimental import mesh_utils
+
+    if devices is None:
+        devices = jax.devices()
+    assert len(axis_names) == len(ici_shape) == len(dcn_shape), (
+        axis_names, ici_shape, dcn_shape,
+    )
+    has_slice = getattr(devices[0], "slice_index", None) is not None
+    granules = {
+        (d.slice_index if has_slice else d.process_index) for d in devices
+    }
+    if len(granules) == 1:
+        total = [i * d for i, d in zip(ici_shape, dcn_shape)]
+        return Mesh(
+            mesh_utils.create_device_mesh(total, devices=list(devices)),
+            tuple(axis_names),
+        )
+    dev_mesh = mesh_utils.create_hybrid_device_mesh(
+        tuple(ici_shape),
+        tuple(dcn_shape),
+        devices=list(devices),
+        process_is_granule=not has_slice,
+    )
+    return Mesh(dev_mesh, tuple(axis_names))
+
+
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     return NamedSharding(mesh, P(axis))
 

@@ -24,7 +24,15 @@ def main():
         sys.argv[4],
         sys.argv[5],
     )
-    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    local_devices = int(sys.argv[6]) if len(sys.argv) > 6 else 4
+    # "flat": 1-D data mesh over all devices (the original 2x4 rig).
+    # "hybrid": (data, model) mesh via make_hybrid_mesh — data factored
+    # across processes (the DCN granule), model=2 within each process
+    # (the ICI granule): the multi-slice dp-over-DCN / tp-over-ICI recipe.
+    topology = sys.argv[7] if len(sys.argv) > 7 else "flat"
+    os.environ["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={local_devices}"
+    )
     os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
 
@@ -34,8 +42,8 @@ def main():
         num_processes=nproc,
         process_id=pid,
     )
-    assert jax.device_count() == 4 * nproc
-    assert jax.local_device_count() == 4
+    assert jax.device_count() == local_devices * nproc
+    assert jax.local_device_count() == local_devices
 
     import numpy as np
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -43,7 +51,18 @@ def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from multinode_common import CFG, TOK, make_optimizer_and_step, synthetic_batch
 
-    mesh = Mesh(np.array(jax.devices()), ("data",))
+    if topology == "hybrid":
+        from coati_tpu.parallel.mesh import make_hybrid_mesh
+
+        tp = 2
+        assert local_devices % tp == 0, (local_devices, tp)
+        mesh = make_hybrid_mesh(
+            ("data", "model"),
+            ici_shape=(local_devices // tp, tp),
+            dcn_shape=(nproc, 1),
+        )
+    else:
+        mesh = Mesh(np.array(jax.devices()), ("data",))
     optimizer, step = make_optimizer_and_step(mesh, mode)
 
     # deterministic init on every process; materialized as GLOBAL arrays
@@ -58,6 +77,18 @@ def main():
         return params, optimizer.init(params)
 
     params, opt_state = jax.jit(init_all, out_shardings=(repl, repl))()
+    if topology == "hybrid":
+        # tensor-parallel weight shardings over the intra-process
+        # (ICI-granule) model axis
+        from coati_tpu.parallel.tp import param_specs
+
+        specs = param_specs(params, mesh.shape["model"])
+        param_sh = jax.tree_util.tree_map(
+            lambda s: NamedSharding(mesh, s),
+            specs,
+            is_leaf=lambda x: isinstance(x, P),
+        )
+        params = jax.jit(lambda p: p, out_shardings=param_sh)(params)
 
     batch_np = synthetic_batch()
     data_sh = NamedSharding(mesh, P("data"))

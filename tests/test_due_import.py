@@ -118,9 +118,127 @@ def _oracle_predict(sd, coeff, x):
     return mean, np.sqrt(np.maximum(var, 1e-12))
 
 
+def _oracle_predict_cholesky_transport(sd, coeff, x):
+    """SECOND, independent derivation of the same predictive (VERDICT r2
+    item 7: the interp-term oracle above and the importer could share a
+    misreading of gpytorch's whitened math; this one starts from the
+    DEFINITION instead).
+
+    gpytorch's whitened parameterization (docs for
+    VariationalStrategy/whitened: the variational distribution is over
+    the whitened inducing values w, with u = L w where L = chol(Kzz);
+    prior mean of u is 0, the ConstantMean is applied to f outside the
+    strategy). So q(u) = N(L m_w, (L S_w)(L S_w)^T), and the standard
+    SVGP predictive (Titsias/Hensman) with P = K_xZ Kzz^{-1} gives
+
+        mean(x) = c + P (L m_w)
+        var(x)  = k_xx - diag(P K_Zx) + rowsum((P L S_w)^2)
+
+    computed here with explicit np.linalg.solve against the jittered
+    Kzz — no L^{-1} interp-term shortcut anywhere, so an error in that
+    shortcut's algebra cannot pass both oracles."""
+    fe = "feature_extractor."
+    h = x @ _oracle_fold(sd, fe + "first.", coeff).T + sd[fe + "first.bias"]
+    depth = 0
+    while fe + f"residuals.{depth}.bias" in sd:
+        depth += 1
+    for i in range(depth):
+        w = _oracle_fold(sd, fe + f"residuals.{i}.", coeff)
+        h = h + np.maximum(h @ w.T + sd[fe + f"residuals.{i}.bias"], 0.0)
+
+    gp = "gp.variational_strategy."
+    z = np.asarray(sd[gp + "inducing_points"], np.float64)
+    m_w = np.asarray(
+        sd[gp + "_variational_distribution.variational_mean"], np.float64
+    )
+    s_w = np.tril(
+        np.asarray(
+            sd[gp + "_variational_distribution.chol_variational_covar"],
+            np.float64,
+        )
+    )
+    ls = np.logaddexp(
+        0.0, np.asarray(sd["gp.covar_module.base_kernel.raw_lengthscale"], np.float64)
+    ).reshape(-1)[0]
+    os_ = np.logaddexp(
+        0.0, np.asarray(sd["gp.covar_module.raw_outputscale"], np.float64)
+    ).reshape(-1)[0]
+    c_key = (
+        "gp.mean_module.raw_constant"
+        if "gp.mean_module.raw_constant" in sd
+        else "gp.mean_module.constant"
+    )
+    c = np.asarray(sd[c_key], np.float64).reshape(-1)[0]
+
+    def k(a, b):
+        d2 = (
+            np.sum(a**2, -1)[:, None]
+            + np.sum(b**2, -1)[None, :]
+            - 2.0 * a @ b.T
+        )
+        return os_ * np.exp(-0.5 * np.maximum(d2, 0.0) / ls**2)
+
+    jit = 1e-4
+    kzz_j = k(z, z) + jit * np.eye(len(z))
+    L = np.linalg.cholesky(kzz_j)
+    kxz = k(h, z)  # (N, M)
+    p = np.linalg.solve(kzz_j, kxz.T).T  # P = K_xZ Kzz^{-1}, (N, M)
+    mean = c + p @ (L @ m_w)
+    plsw = p @ (L @ s_w)  # (N, M)
+    var = (os_ + jit) - np.sum(p * kxz, axis=1) + np.sum(plsw**2, axis=1)
+    return mean, np.sqrt(np.maximum(var, 1e-12))
+
+
 @pytest.fixture(scope="module")
 def probe_x():
     return np.random.default_rng(7).normal(size=(64, 256)).astype(np.float32)
+
+
+@pytest.mark.parametrize(
+    "path", ARTIFACTS, ids=[os.path.basename(p) for p in ARTIFACTS]
+)
+def test_two_independent_derivations_agree(path, probe_x):
+    """Interp-term oracle == Cholesky-transport oracle == imported model,
+    on every published artifact (both oracles in float64, so agreement
+    is tight; the imported model runs float32)."""
+    sd, coeff = _raw_state(path)
+    x64 = np.asarray(probe_x, np.float64)
+    m1, s1 = _oracle_predict(sd, coeff, x64)
+    m2, s2 = _oracle_predict_cholesky_transport(sd, coeff, x64)
+    scale = max(1.0, float(np.abs(m1).max()))
+    np.testing.assert_allclose(m1, m2, atol=1e-8 * scale)
+    np.testing.assert_allclose(s1, s2, rtol=1e-6, atol=1e-9)
+    model = load_torch_due(path)
+    got_mean, got_std = model.predict(probe_x)
+    np.testing.assert_allclose(got_mean, m2, atol=2e-3 * scale)
+    np.testing.assert_allclose(got_std, s2, rtol=3e-2, atol=2e-3)
+
+
+@pytest.mark.parametrize(
+    "path", ARTIFACTS, ids=[os.path.basename(p) for p in ARTIFACTS]
+)
+def test_against_real_gpytorch_when_available(path, probe_x):
+    """THE closing oracle: when the real gpytorch/due packages exist,
+    unpickle the artifact WITHOUT stubs and compare the live torch eval
+    forward against the imported JAX model. Skips (gpytorch absent)
+    everywhere the packages aren't installed — activates automatically
+    the day they appear (VERDICT r2 item 7)."""
+    pytest.importorskip("gpytorch")
+    pytest.importorskip("due")
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if not hasattr(obj, "eval"):
+        pytest.skip("state-dict artifact; no module to run live")
+    obj.eval()
+    with torch.no_grad():
+        dist = obj(torch.as_tensor(probe_x))
+        want_mean = dist.mean.numpy().reshape(-1)
+        want_std = dist.stddev.numpy().reshape(-1)
+    model = load_torch_due(path)
+    got_mean, got_std = model.predict(probe_x)
+    scale = max(1.0, float(np.abs(want_mean).max()))
+    np.testing.assert_allclose(got_mean, want_mean, atol=2e-3 * scale)
+    np.testing.assert_allclose(got_std, want_std, rtol=3e-2, atol=2e-3)
 
 
 @pytest.mark.parametrize("path", ARTIFACTS, ids=[os.path.basename(p) for p in ARTIFACTS])

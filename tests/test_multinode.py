@@ -56,8 +56,9 @@ def _reference_metrics(mode):
     return {k: float(v) for k, v in metrics.items()}
 
 
-@pytest.mark.parametrize("mode", ["pjit", "shard_map"])
-def test_two_process_step_matches_single_process(mode, tmp_path):
+def _run_workers(mode, tmp_path, nproc, local_devices, topology):
+    """Launch nproc worker processes x local_devices virtual CPU devices
+    and return their metric dicts."""
     port = _free_port()
     out = str(tmp_path / "metrics")
     worker = os.path.join(os.path.dirname(__file__), "multinode_worker.py")
@@ -69,12 +70,15 @@ def test_two_process_step_matches_single_process(mode, tmp_path):
     )
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, str(pid), "2", str(port), mode, out],
+            [
+                sys.executable, worker, str(pid), str(nproc), str(port),
+                mode, out, str(local_devices), topology,
+            ],
             env=env,
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
         )
-        for pid in range(2)
+        for pid in range(nproc)
     ]
     logs = []
     for p in procs:
@@ -84,14 +88,21 @@ def test_two_process_step_matches_single_process(mode, tmp_path):
         assert p.returncode == 0, f"worker failed:\n{log[-3000:]}"
 
     results = []
-    for pid in range(2):
+    for pid in range(nproc):
         with open(f"{out}.{pid}") as f:
             results.append(json.load(f))
-    assert all(r["global_devices"] == 8 for r in results)
-    # both processes see identical (pmean'd / replicated) metrics
+    assert all(r["global_devices"] == nproc * local_devices for r in results)
+    # every process sees identical (pmean'd / replicated) metrics
     for key in ("loss", "ar_loss", "clip_loss"):
-        assert np.isclose(results[0][key], results[1][key], atol=1e-6), key
+        for r in results[1:]:
+            assert np.isclose(results[0][key], r[key], atol=1e-6), key
+    return results
 
+
+@pytest.mark.parametrize("mode", ["pjit", "shard_map"])
+def test_two_process_step_matches_single_process(mode, tmp_path):
+    results = _run_workers(mode, tmp_path, nproc=2, local_devices=4,
+                           topology="flat")
     want = _reference_metrics(mode)
     for key in ("loss", "ar_loss", "clip_loss"):
         assert np.isclose(results[0][key], want[key], rtol=1e-5, atol=1e-5), (
@@ -99,3 +110,45 @@ def test_two_process_step_matches_single_process(mode, tmp_path):
             results[0][key],
             want[key],
         )
+
+
+def test_four_process_hybrid_dcn_ici_step_matches_single_process(tmp_path):
+    """4 processes x 2 virtual devices on a make_hybrid_mesh (data
+    factored across the process/DCN granule, model=2 within each process
+    over 'ICI') with tensor-parallel weight shardings reproduce the
+    single-process dp x tp step — the multi-slice recipe of SURVEY §5.8
+    exercised end-to-end."""
+    results = _run_workers("pjit", tmp_path, nproc=4, local_devices=2,
+                           topology="hybrid")
+
+    # single-process reference: same dp=4 x tp=2 layout on a flat mesh
+    from coati_tpu.parallel.tp import make_tp_mesh, shard_params
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_tp_mesh(8, model_parallel=2)
+    optimizer, step = make_optimizer_and_step(mesh, "pjit")
+    params = shard_params(mesh, init_coati(jax.random.PRNGKey(0), CFG))
+    opt_state = optimizer.init(params)
+    repl = NamedSharding(mesh, P())
+    data_sh = NamedSharding(mesh, P("data"))
+    batch = {
+        k: jax.device_put(v, data_sh) for k, v in synthetic_batch().items()
+    }
+    rng = jax.device_put(jax.random.PRNGKey(42), repl)
+    _, _, metrics = step(params, opt_state, rng, batch)
+    for key in ("loss", "ar_loss", "clip_loss"):
+        assert np.isclose(
+            results[0][key], float(metrics[key]), rtol=1e-5, atol=1e-5
+        ), (key, results[0][key], float(metrics[key]))
+
+
+def test_make_hybrid_mesh_single_granule_fallback():
+    """In a single process (one granule) make_hybrid_mesh degrades to a
+    plain device mesh with the combined axis sizes."""
+    from coati_tpu.parallel.mesh import make_hybrid_mesh
+
+    mesh = make_hybrid_mesh(
+        ("data", "model"), ici_shape=(2, 2), dcn_shape=(2, 1),
+        devices=jax.devices()[:8],
+    )
+    assert mesh.shape == {"data": 4, "model": 2}
