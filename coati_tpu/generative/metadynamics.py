@@ -68,6 +68,68 @@ def gaussian_hills_bias(
     return height * jnp.sum(jnp.exp(-0.5 * d2 / width**2))
 
 
+def _make_ascend(
+    objective_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    cfg: "MetadynamicsConfig",
+    max_hills: int,
+):
+    """Jitted one-step gradient ascent on objective - history bias."""
+
+    @jax.jit
+    def ascend(v, centers, n_hills):
+        def total(v):
+            mask = jnp.arange(max_hills) < n_hills
+            d2 = jnp.sum(jnp.square(v[None, :] - centers), axis=-1)
+            bias = cfg.hill_height * jnp.sum(
+                jnp.where(mask, jnp.exp(-0.5 * d2 / cfg.hill_width**2), 0.0)
+            )
+            return objective_fn(v) - bias
+
+        score, grad = jax.value_and_grad(total)(v)
+        return v + cfg.step_size * grad, score
+
+    return ascend
+
+
+def walk_embedding_space(
+    objective_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    v0: np.ndarray,
+    config: Optional[MetadynamicsConfig] = None,
+):
+    """Pure embedding-space metadynamics walk — the exact ascend/hill
+    dynamics of run_metadynamics with the decode/re-embed machinery
+    stripped (no molecules realized).
+
+    Returns (positions (steps+1, D), objectives (steps+1,)): position 0
+    is v0 and objectives[i] = objective_fn(positions[i]) (WITHOUT the
+    bias term, so the trace measures real objective progress). Used by
+    scripts/eval_metadynamics.py and tests to assert the walk optimizes
+    (objective non-decreasing under pure ascent) and that the history
+    bias measurably displaces successive samples."""
+    cfg = config or MetadynamicsConfig()
+    rng = np.random.default_rng(cfg.seed)
+    v = jnp.asarray(np.asarray(v0, np.float32).reshape(-1))
+    dim = v.shape[0]
+    max_hills = max(cfg.steps, 1)
+    centers = np.zeros((max_hills, dim), np.float32)
+    n_hills = 0
+    ascend = _make_ascend(objective_fn, cfg, max_hills)
+
+    positions = [np.asarray(v)]
+    objectives = [float(objective_fn(v))]
+    for _ in range(cfg.steps):
+        v, _ = ascend(v, jnp.asarray(centers), jnp.asarray(n_hills))
+        if cfg.noise_scale > 0:
+            v = v + jnp.asarray(
+                rng.normal(scale=cfg.noise_scale, size=(dim,)).astype(np.float32)
+            )
+        centers[n_hills % max_hills] = np.asarray(v)
+        n_hills = min(n_hills + 1, max_hills)
+        positions.append(np.asarray(v))
+        objectives.append(float(objective_fn(v)))
+    return np.stack(positions, 0), np.asarray(objectives)
+
+
 def run_metadynamics(
     encoder: COATI,
     tokenizer: TrieTokenizer,
@@ -87,19 +149,7 @@ def run_metadynamics(
     max_hills = cfg.steps
     centers = np.zeros((max_hills, dim), np.float32)
     n_hills = 0
-
-    @jax.jit
-    def ascend(v, centers, n_hills):
-        def total(v):
-            mask = jnp.arange(max_hills) < n_hills
-            d2 = jnp.sum(jnp.square(v[None, :] - centers), axis=-1)
-            bias = cfg.hill_height * jnp.sum(
-                jnp.where(mask, jnp.exp(-0.5 * d2 / cfg.hill_width**2), 0.0)
-            )
-            return objective_fn(v) - bias
-
-        score, grad = jax.value_and_grad(total)(v)
-        return v + cfg.step_size * grad, score
+    ascend = _make_ascend(objective_fn, cfg, max_hills)
 
     all_smiles: List[str] = []
     all_scores: List[float] = []
