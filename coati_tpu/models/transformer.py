@@ -65,8 +65,9 @@ class TransformerConfig:
     #              (quality-validated on a trained model,
     #              scripts/eval_int8_decode.py: 100% round-trip and
     #              token agreement vs fp32), else the compute dtype.
-    #              The pallas decode kernel reads non-quantized caches
-    #              only, so "auto"+pallas resolves to the compute dtype.
+    #              Composes with either decode kernel (the pallas
+    #              masked-read kernel streams the int8 data + scale
+    #              format directly since round 3).
     #   "int8"   — always quantize
     #   "compute"— always match the compute dtype (no quantization)
     kv_dtype: str = struct.field(pytree_node=False, default="auto")
@@ -91,12 +92,18 @@ class TransformerConfig:
     # scan-saved residuals; ~0.4% prob error, training-quality neutral
     # at these seq lengths, -16% trunk fwd+grad; PERF.md)
     softmax_dtype: str = struct.field(pytree_node=False, default="float32")
-    # full-sequence attention backend: "auto" (default) selects the
-    # fused Pallas kernel (ops/pallas/flash_attention.py — no (B,H,T,T)
-    # probs in HBM, f32 softmax in VMEM) on TPU for T >= 192 where it
-    # measures -35%/layer, and XLA below (T=96 is MXU-pass-bound at
-    # Dh=16; the kernel is neutral there — PERF.md). "xla" / "pallas"
-    # force either path.
+    # full-sequence attention backend:
+    #   "auto"   — on TPU, the flash kernel (ops/pallas/flash_attention
+    #              .py — no (B,H,T,T) probs in HBM) for T >= 192 where
+    #              traffic dominates (-35%/layer); XLA below — T <= 128
+    #              attention is at a measured PASS-COUNT CEILING that no
+    #              formulation beats (PERF.md "attention pass-count
+    #              floor": XLA/flash/head-packed all within ~15%).
+    #   "xla" / "pallas" / "packed" — force one path ("pallas" = flash,
+    #              "packed" = the head-packed kernel,
+    #              ops/pallas/packed_attention.py, whose VJP is a Pallas
+    #              kernel too — kept for hardware with different pass
+    #              economics).
     prefill_kernel: str = struct.field(pytree_node=False, default="auto")
     # lax.approx_max_k recall target for the decode sampler's top-k
     # (ops/sampling.py): the TPU partial-reduction's cost scales
@@ -136,7 +143,7 @@ class TransformerConfig:
                 f"kv_dtype must be 'auto', 'int8' or 'compute', got "
                 f"{self.kv_dtype!r}"
             )
-        return self.dtype == "bfloat16" and self.decode_kernel != "pallas"
+        return self.dtype == "bfloat16"
 
     @property
     def attn_softmax_dtype(self):
@@ -265,31 +272,48 @@ def embed_tokens(
 # ---------------------------------------------------------- full forward
 
 
-def _use_flash(cfg: TransformerConfig, t: int) -> bool:
+def _prefill_backend(cfg: TransformerConfig, t: int) -> str:
     """Static (trace-time) choice of the full-sequence attention backend
-    — see TransformerConfig.prefill_kernel."""
+    ("xla" | "flash" | "packed") — see TransformerConfig.prefill_kernel."""
     if cfg.prefill_kernel == "xla":
-        return False
+        return "xla"
     from coati_tpu.ops.pallas.flash_attention import flash_supported, on_tpu
+    from coati_tpu.ops.pallas.packed_attention import packed_supported
 
-    if cfg.prefill_kernel == "pallas":
+    if cfg.prefill_kernel in ("pallas", "packed"):
         if (cfg.n_embd % 128) != 0:
             raise ValueError(
-                "prefill_kernel='pallas' needs n_embd % 128 == 0 "
-                f"(lane tiling), got {cfg.n_embd}"
+                f"prefill_kernel={cfg.prefill_kernel!r} needs n_embd % 128 "
+                f"== 0 (lane tiling), got {cfg.n_embd}"
             )
-        return True
+        if cfg.prefill_kernel == "packed" and not packed_supported(
+            t, cfg.n_head, cfg.head_dim
+        ):
+            raise ValueError(
+                f"prefill_kernel='packed' needs T <= 128 and n_head > 1, "
+                f"got T={t}, n_head={cfg.n_head}"
+            )
+        return "flash" if cfg.prefill_kernel == "pallas" else "packed"
     if cfg.prefill_kernel != "auto":
         raise ValueError(
-            f"prefill_kernel must be 'auto', 'xla' or 'pallas', got "
-            f"{cfg.prefill_kernel!r}"
+            f"prefill_kernel must be 'auto', 'xla', 'pallas' or 'packed', "
+            f"got {cfg.prefill_kernel!r}"
         )
     if cfg.precision != "default":
         # parity configs (precision="highest") need full-f32 matmul
-        # passes, which the kernel's dot_generals don't honor — auto
-        # never trades parity for speed; force with "pallas" if wanted
-        return False
-    return on_tpu() and flash_supported(t, cfg.n_head, cfg.head_dim)
+        # passes, which the kernels' dot_generals don't honor — auto
+        # never trades parity for speed; force with "pallas"/"packed"
+        return "xla"
+    if not on_tpu():
+        return "xla"
+    if flash_supported(t, cfg.n_head, cfg.head_dim):
+        return "flash"
+    # measured CEILING, not an oversight: at T <= 128 every formulation
+    # (XLA einsum, flash, head-packed — see scripts/probe_packed_attention
+    # .py + PERF.md "attention pass-count floor") sits within ~15% of the
+    # same per-pass floor, with XLA fastest — auto keeps XLA; "packed"
+    # stays available for hardware with different pass economics.
+    return "xla"
 
 
 def _block_full(x, blk: BlockParams, cfg: TransformerConfig, cos, sin):
@@ -307,10 +331,17 @@ def _block_full(x, blk: BlockParams, cfg: TransformerConfig, cos, sin):
     # rotary over positions [0, t): cos/sin broadcast (T, Dh) -> (B, T, H, Dh)
     q = apply_rotary(q, cos[:t, None, :], sin[:t, None, :])
     k = apply_rotary(k, cos[:t, None, :], sin[:t, None, :])
-    if _use_flash(cfg, t):
+    backend = _prefill_backend(cfg, t)
+    if backend == "flash":
         from coati_tpu.ops.pallas.flash_attention import flash_causal_attention
 
         attn = flash_causal_attention(q, k, v).reshape(b, t, d)
+    elif backend == "packed":
+        from coati_tpu.ops.pallas.packed_attention import (
+            packed_causal_attention,
+        )
+
+        attn = packed_causal_attention(q, k, v).reshape(b, t, d)
     else:
         attn = causal_attention(
             q, k, v, prec, softmax_dtype=cfg.attn_softmax_dtype
@@ -534,13 +565,6 @@ def decode_step(
     x = x.astype(cfg.compute_dtype)  # (B, D)
 
     quantized = cache.scale is not None
-    if quantized and cfg.decode_kernel == "pallas":
-        raise ValueError(
-            "decode_kernel='pallas' supports non-quantized KV caches only "
-            "(the int8 path reads a separate scale stream); use kv_dtype "
-            "'auto'/'compute' with the pallas kernel or kv_dtype='int8' "
-            "with 'xla'"
-        )
     data, scale_arr = cache.data, cache.scale
     blocks = params.blocks
     for layer in range(cfg.n_layer):
@@ -570,14 +594,28 @@ def decode_step(
                 vs.astype(scale_arr.dtype)[None, None, :, None],
                 (layer, 1, 0, pos, 0),
             )
-            attn = decode_attention_quant(
-                q,
-                data[layer, 0],
-                scale_arr[layer, 0],
-                data[layer, 1],
-                scale_arr[layer, 1],
-                pos,
-            )
+            if cfg.decode_kernel == "pallas":
+                from coati_tpu.ops.pallas.decode_attention import (
+                    decode_attention_pallas_quant,
+                )
+
+                attn = decode_attention_pallas_quant(
+                    q,
+                    data[layer, 0],
+                    scale_arr[layer, 0],
+                    data[layer, 1],
+                    scale_arr[layer, 1],
+                    pos,
+                )
+            else:
+                attn = decode_attention_quant(
+                    q,
+                    data[layer, 0],
+                    scale_arr[layer, 0],
+                    data[layer, 1],
+                    scale_arr[layer, 1],
+                    pos,
+                )
         else:
             k = k.astype(data.dtype)
             data = jax.lax.dynamic_update_slice(

@@ -99,6 +99,17 @@ def main():
 
     timed("merged-batch bf16", merged, q, k, v)
 
+    from coati_tpu.ops.pallas.flash_attention import flash_causal_attention
+    from coati_tpu.ops.pallas.packed_attention import (
+        packed_causal_attention,
+        packed_supported,
+    )
+
+    if (H * DH) % 128 == 0:
+        timed("flash-pallas", flash_causal_attention, q, k, v)
+    if packed_supported(T, H, DH):
+        timed("packed-pallas", packed_causal_attention, q, k, v)
+
     def qk_only(q, k):
         return jnp.einsum("bthd,bshd->bhts", q, k)
 

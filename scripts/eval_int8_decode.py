@@ -132,8 +132,11 @@ def main():
         ("bf16+int8kv", {"dtype": "bfloat16", "kv_dtype": "int8"}),
         ("bf16+int8kv+bf16scale", {"dtype": "bfloat16", "kv_dtype": "int8",
                                    "kv_scale_dtype": "bfloat16"}),
-        ("bf16+pallas", {"dtype": "bfloat16",
-                         "decode_kernel": "pallas"}),
+        # kv_dtype left "auto" => int8: since round 3 the pallas
+        # masked-read kernel streams the int8+scales cache directly,
+        # so this row gates the full production decode config through it
+        ("bf16+int8kv+pallas", {"dtype": "bfloat16",
+                                "decode_kernel": "pallas"}),
         # lowered approx_max_k recall target (decode throughput knob,
         # see TransformerConfig.topk_recall): per-block maxima always
         # survive, so near-greedy round-trip must be unaffected

@@ -98,8 +98,11 @@ def test_auto_selection_rules():
 
 
 def test_pallas_forced_rejects_narrow_embd():
-    from coati_tpu.models.transformer import TransformerConfig, _use_flash
+    from coati_tpu.models.transformer import (
+        TransformerConfig,
+        _prefill_backend,
+    )
 
     cfg = TransformerConfig(n_embd=64, n_head=4, prefill_kernel="pallas")
     with pytest.raises(ValueError, match="n_embd"):
-        _use_flash(cfg, 64)
+        _prefill_backend(cfg, 64)
