@@ -32,6 +32,8 @@ from coati_tpu.ops.attention import (
     causal_attention,
     decode_attention,
     decode_attention_quant,
+    decode_attention_quant_ragged,
+    decode_attention_ragged,
 )
 from coati_tpu.ops.layers import (
     cast_floats,
@@ -636,6 +638,83 @@ def decode_step(
                 attn = decode_attention(
                     q, data[layer, 0], data[layer, 1], pos, prec
                 )
+        x = x + linear(attn.reshape(b, cfg.n_embd), blk.w_proj, blk.b_proj, prec)
+        y = layer_norm(x, blk.ln2_scale, blk.ln2_bias)
+        x = x + linear(
+            gelu_tanh(linear(y, blk.w_fc, blk.b_fc, prec)), blk.w_out, blk.b_out, prec
+        )
+    x = layer_norm(x, params.lnf_scale, params.lnf_bias)
+    logits = linear(x, params.lm_head, None, prec)
+    return logits, KVCache(data=data, scale=scale_arr)
+
+
+def decode_step_ragged(
+    params: TransformerParams,
+    cfg: TransformerConfig,
+    token: jnp.ndarray,  # (B,)
+    pos: jnp.ndarray,  # (B,) int32 — PER-ROW positions
+    cache: KVCache,
+):
+    """decode_step with PER-ROW positions — the continuous-batching
+    engine's step (serving/continuous.py), where co-batched rows sit at
+    different generation depths. Row b embeds `token[b]` at position
+    `pos[b]`, writes its K/V there (batched scatter at unique
+    (row, pos[row]) coordinates — XLA keeps the donated cache in place),
+    and attends over [0, pos[b]]. Equals decode_step token-for-token
+    when pos is constant (tested). Positions are clamped to the cache
+    width; retired rows can therefore keep flowing through harmlessly
+    while awaiting replacement."""
+    b = token.shape[0]
+    h, dh = cfg.n_head, cfg.head_dim
+    prec = cfg.mm_precision
+    params = cast_floats(params, cfg.compute_dtype)
+    t_max = cache.data.shape[3]
+    pos = jnp.clip(pos, 0, t_max - 1)
+    cos_t, sin_t = rotary_tables(cfg.n_seq, cfg.head_dim)
+    cos_r = cos_t[pos].astype(cfg.compute_dtype)[:, None, :]  # (B, 1, Dh)
+    sin_r = sin_t[pos].astype(cfg.compute_dtype)[:, None, :]
+
+    x = params.tok_emb[token]
+    if params.norm_embed_scale is not None:
+        x = layer_norm(x, params.norm_embed_scale, params.norm_embed_bias)
+    x = x.astype(cfg.compute_dtype)  # (B, D)
+
+    quantized = cache.scale is not None
+    data, scale_arr = cache.data, cache.scale
+    rows = jnp.arange(b)
+    for layer in range(cfg.n_layer):
+        blk = jax.tree_util.tree_map(lambda a: a[layer], params.blocks)
+        y = layer_norm(x, blk.ln1_scale, blk.ln1_bias)
+        qkv = linear(y, blk.w_attn, blk.b_attn, prec)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = apply_rotary(q.reshape(b, h, dh), cos_r, sin_r)
+        k = apply_rotary(k.reshape(b, h, dh), cos_r, sin_r)
+        v = v.reshape(b, h, dh)
+        if quantized:
+            k8, ks = quantize_kv(k)
+            v8, vs = quantize_kv(v)
+            data = data.at[layer, 0, rows, pos].set(k8)
+            data = data.at[layer, 1, rows, pos].set(v8)
+            scale_arr = scale_arr.at[layer, 0, rows, pos].set(
+                ks.astype(scale_arr.dtype)
+            )
+            scale_arr = scale_arr.at[layer, 1, rows, pos].set(
+                vs.astype(scale_arr.dtype)
+            )
+            attn = decode_attention_quant_ragged(
+                q,
+                data[layer, 0],
+                scale_arr[layer, 0],
+                data[layer, 1],
+                scale_arr[layer, 1],
+                pos,
+            )
+        else:
+            data = data.at[layer, 0, rows, pos].set(k.astype(data.dtype))
+            data = data.at[layer, 1, rows, pos].set(v.astype(data.dtype))
+            attn = decode_attention_ragged(
+                q, data[layer, 0], data[layer, 1], pos, prec
+            )
         x = x + linear(attn.reshape(b, cfg.n_embd), blk.w_proj, blk.b_proj, prec)
         y = layer_norm(x, blk.ln2_scale, blk.ln2_bias)
         x = x + linear(

@@ -85,6 +85,57 @@ def decode_attention_quant(
     )
 
 
+def decode_attention_ragged(
+    q1: jnp.ndarray,
+    k_cache: jnp.ndarray,
+    v_cache: jnp.ndarray,
+    pos: jnp.ndarray,  # (B,) int32 — PER-ROW positions
+    precision: Optional[jax.lax.Precision] = None,
+) -> jnp.ndarray:
+    """decode_attention with per-row positions: row b attends over
+    [0, pos[b]]. Backbone of the continuous-batching decode engine
+    (serving/continuous.py), where co-batched sequences sit at
+    different generation depths. Same math as decode_attention when
+    pos is constant across rows (tested)."""
+    dh = q1.shape[-1]
+    t_max = k_cache.shape[1]
+    scale = 1.0 / jnp.sqrt(jnp.asarray(dh, jnp.float32))
+    scores = jnp.einsum("bhd,bshd->bhs", q1, k_cache, precision=precision)
+    scores = scores.astype(jnp.float32) * scale
+    valid = jnp.arange(t_max)[None, :] <= pos[:, None]  # (B, T)
+    scores = jnp.where(valid[:, None, :], scores, _NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1).astype(v_cache.dtype)
+    return jnp.einsum("bhs,bshd->bhd", probs, v_cache, precision=precision)
+
+
+def decode_attention_quant_ragged(
+    q1: jnp.ndarray,
+    k_data: jnp.ndarray,  # (B, T, H, Dh) int8
+    k_scale: jnp.ndarray,  # (B, T, H)
+    v_data: jnp.ndarray,
+    v_scale: jnp.ndarray,
+    pos: jnp.ndarray,  # (B,) int32 — PER-ROW positions
+) -> jnp.ndarray:
+    """decode_attention_quant with per-row positions (see
+    decode_attention_ragged); scales factor out exactly as in the
+    scalar-pos version."""
+    dh = q1.shape[-1]
+    t_max = k_data.shape[1]
+    scale = 1.0 / jnp.sqrt(jnp.asarray(dh, jnp.float32))
+    scores = jnp.einsum(
+        "bhd,bshd->bhs", q1.astype(jnp.float32), k_data.astype(jnp.float32)
+    )
+    scores = scores * jnp.transpose(k_scale, (0, 2, 1)).astype(jnp.float32)
+    scores = scores * scale
+    valid = jnp.arange(t_max)[None, :] <= pos[:, None]
+    scores = jnp.where(valid[:, None, :], scores, _NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    probs = probs * jnp.transpose(v_scale, (0, 2, 1)).astype(jnp.float32)
+    return jnp.einsum(
+        "bhs,bshd->bhd", probs, v_data.astype(jnp.float32)
+    ).astype(q1.dtype)
+
+
 def decode_attention(
     q1: jnp.ndarray,
     k_cache: jnp.ndarray,

@@ -5,6 +5,7 @@ batches (the API's power-of-two bucketing bounds XLA recompiles), ride
 one TPU program, and fan back out."""
 
 from coati_tpu.serving.batcher import MicroBatcher
+from coati_tpu.serving.continuous import ContinuousDecoder
 from coati_tpu.serving.server import CoatiInferenceServer
 
-__all__ = ["MicroBatcher", "CoatiInferenceServer"]
+__all__ = ["ContinuousDecoder", "MicroBatcher", "CoatiInferenceServer"]

@@ -1,0 +1,287 @@
+"""Continuous-batching decode engine (slot recycling).
+
+The fused sampler (models/sampler.py) holds every co-batched row until
+ALL rows stop, so under the micro-batcher one long molecule makes every
+co-batched short request pay max length. This engine fixes that the
+TPU-native way — static shapes, jitted segments, host control only at
+segment boundaries:
+
+  * a fixed pool of N_SLOTS rows with a width-W KV cache lives on
+    device; every row carries its OWN position (decode_step_ragged —
+    per-row rotary/cache-scatter/attention masks);
+  * decode runs in SEGMENTS of `segment_len` tokens compiled as one
+    program (early-exiting when every live row stops);
+  * between segments the host HARVESTS finished rows (their slots free
+    immediately — a short molecule never waits for a long one) and
+    ADMITS queued requests into free slots: each admission group is
+    prefilled in one program and scattered into the pool cache. Group
+    sizes are bucketed to powers of two (padding rows scatter into a
+    scratch slot) so the engine compiles O(log N_SLOTS) admission
+    programs total.
+
+Beyond-parity: the reference has no serving at all (its sampler
+re-runs the full prefix per token, smiles_xformer.py:296-311).
+Throughput/latency A/B vs the drain-the-batch sampler under mixed
+lengths: SERVING.md + scripts/bench_continuous.py; correctness
+(ragged == uniform token-for-token, recycling bookkeeping):
+tests/test_continuous.py.
+"""
+
+from __future__ import annotations
+
+import threading
+from dataclasses import dataclass
+from typing import Dict, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from coati_tpu.models.transformer import (
+    KVCache,
+    TransformerConfig,
+    TransformerParams,
+    decode_step_ragged,
+    make_empty_cache,
+    prefill,
+)
+from coati_tpu.ops.sampling import sample_top_k
+
+
+@struct.dataclass
+class PoolState:
+    """Device-resident slot pool. Row N_SLOTS is a spare scratch row
+    (kept never-live as a safety margin for future padded admissions)."""
+
+    tokens: jnp.ndarray  # (S+1, W) int32
+    pos: jnp.ndarray  # (S+1,) int32 — position of `cur` per row
+    cur: jnp.ndarray  # (S+1,) int32 — current input token
+    live: jnp.ndarray  # (S+1,) bool
+    cache: KVCache
+    rng: jax.Array
+
+
+@dataclass
+class _Request:
+    rid: int
+    injection: np.ndarray
+    tokens: Optional[np.ndarray] = None  # filled at harvest
+
+
+class ContinuousDecoder:
+    """hclip-conditioned generation with slot recycling: submit
+    injection vectors, collect token rows as they finish.
+
+    The v1 surface matches the serving frontend's /generate leg: a
+    common token prefix (e.g. [CLIP][UNK][SMILES]) with a per-request
+    injection payload over `inject_token`. Sampling params (k,
+    inv_temp) are engine-uniform — one compiled segment program."""
+
+    def __init__(
+        self,
+        params: TransformerParams,
+        cfg: TransformerConfig,
+        prefix: List[int],
+        *,
+        n_slots: int = 64,
+        total_len: Optional[int] = None,
+        stop_token: int,
+        pad_token: int = 0,
+        inject_token: Optional[int] = None,
+        k: int = 100,
+        inv_temp: float = 2.0,
+        segment_len: int = 16,
+        seed: int = 0,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.prefix = list(prefix)
+        self.n_slots = n_slots
+        self.w = total_len or cfg.n_seq
+        self.stop_token = stop_token
+        self.pad_token = pad_token
+        self.inject_token = inject_token
+        self.k = k
+        self.inv_temp = inv_temp
+        self.segment_len = segment_len
+        assert len(self.prefix) >= 1 and len(self.prefix) < self.w
+
+        s = n_slots + 1  # + scratch row
+        self.state = PoolState(
+            tokens=jnp.zeros((s, self.w), jnp.int32),
+            pos=jnp.zeros((s,), jnp.int32),
+            cur=jnp.zeros((s,), jnp.int32),
+            live=jnp.zeros((s,), bool),
+            cache=make_empty_cache(cfg, s, width=self.w),
+            rng=jax.random.PRNGKey(seed),
+        )
+        self._free: List[int] = list(range(n_slots))
+        self._slot_req: Dict[int, _Request] = {}
+        self._pending: List[_Request] = []
+        self._done: Dict[int, _Request] = {}
+        self._next_rid = 0
+        self._lock = threading.Lock()  # guards _pending/_done/_next_rid
+        self._segment = jax.jit(self._segment_fn, donate_argnums=(0,))
+        self._admit_cache: Dict[int, object] = {}
+
+    # ----------------------------------------------------------- device
+
+    def _segment_fn(self, state: PoolState) -> PoolState:
+        w = self.w
+        rows = jnp.arange(state.tokens.shape[0])
+
+        def cond(carry):
+            i, st = carry
+            return (i < self.segment_len) & jnp.any(st.live)
+
+        def body(carry):
+            i, st = carry
+            logits, cache = decode_step_ragged(
+                self.params, self.cfg, st.cur, st.pos, st.cache
+            )
+            rng, sub = jax.random.split(st.rng)
+            nxt = sample_top_k(
+                sub, logits.astype(jnp.float32), self.k, self.inv_temp,
+                approx=True, recall_target=self.cfg.topk_recall,
+            )
+            can = st.live & (st.pos + 1 < w)
+            nxt = jnp.where(can, nxt, self.pad_token)
+            wpos = jnp.clip(st.pos + 1, 0, w - 1)
+            tokens = st.tokens.at[rows, wpos].set(
+                jnp.where(can, nxt, st.tokens[rows, wpos])
+            )
+            live = can & (nxt != self.stop_token)
+            pos = jnp.where(can, st.pos + 1, st.pos)
+            cur = jnp.where(can, nxt, st.cur)
+            return i + 1, PoolState(
+                tokens=tokens, pos=pos, cur=cur, live=live,
+                cache=cache, rng=rng,
+            )
+
+        _, state = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
+        return state
+
+    def _admit_fn(self, state: PoolState, slots, inj):
+        """Prefill `g` new rows on the common prefix with per-row
+        injection and scatter them into the pool (g static per
+        admission-bucket size — groups are sized to powers of two, so
+        the engine compiles at most log2(n_slots)+1 admission
+        programs)."""
+        g = slots.shape[0]
+        rng = state.rng
+        p = len(self.prefix)
+        ptoks = jnp.broadcast_to(
+            jnp.asarray(self.prefix, jnp.int32)[None, :], (g, p)
+        )
+        cache = make_empty_cache(self.cfg, g, width=self.w)
+        hidden, cache = prefill(
+            self.params, self.cfg, ptoks,
+            injection=inj if self.inject_token is not None else None,
+            inject_token=self.inject_token,
+            cache=cache,
+        )
+        last = hidden[:, -1] @ self.params.lm_head.astype(hidden.dtype)
+        rng, sub = jax.random.split(rng)
+        first = sample_top_k(
+            sub, last.astype(jnp.float32), self.k, self.inv_temp,
+            approx=True, recall_target=self.cfg.topk_recall,
+        )
+        tokens = jnp.zeros((g, self.w), jnp.int32)
+        tokens = tokens.at[:, :p].set(ptoks)
+        tokens = tokens.at[:, p].set(first)
+
+        st_tokens = state.tokens.at[slots].set(tokens)
+        st_pos = state.pos.at[slots].set(p)
+        st_cur = state.cur.at[slots].set(first)
+        st_live = state.live.at[slots].set(first != self.stop_token)
+        data = state.cache.data.at[:, :, slots].set(
+            cache.data.astype(state.cache.data.dtype)
+        )
+        scale = state.cache.scale
+        if scale is not None:
+            scale = scale.at[:, :, slots].set(
+                cache.scale.astype(scale.dtype)
+            )
+        # scratch row is never live, whatever was scattered into it
+        st_live = st_live.at[self.n_slots].set(False)
+        return PoolState(
+            tokens=st_tokens, pos=st_pos, cur=st_cur, live=st_live,
+            cache=KVCache(data=data, scale=scale), rng=rng,
+        )
+
+    def _admit_jit(self, g: int):
+        if g not in self._admit_cache:
+            self._admit_cache[g] = jax.jit(self._admit_fn, donate_argnums=(0,))
+        return self._admit_cache[g]
+
+    # ------------------------------------------------------------- host
+
+    def submit(self, injection: np.ndarray) -> int:
+        """Queue one request; returns a request id. Thread-safe — any
+        thread may submit while another drives step()/run_until_done()."""
+        with self._lock:
+            rid = self._next_rid
+            self._next_rid += 1
+            self._pending.append(
+                _Request(rid=rid, injection=np.asarray(injection, np.float32))
+            )
+        return rid
+
+    def _admit_pending(self):
+        with self._lock:
+            n = min(len(self._pending), len(self._free))
+            if n == 0:
+                return
+            # admission groups are power-of-two sized (see _admit_fn)
+            g = 1
+            while g * 2 <= n:
+                g *= 2
+            batch = [self._pending.pop(0) for _ in range(g)]
+        slots = [self._free.pop(0) for _ in range(g)]
+        for r, s in zip(batch, slots):
+            self._slot_req[s] = r
+        inj = jnp.asarray(
+            np.stack([r.injection for r in batch]), self.cfg.compute_dtype
+        )
+        self.state = self._admit_jit(g)(
+            self.state, jnp.asarray(slots, jnp.int32), inj
+        )
+
+    def _harvest(self):
+        live = np.asarray(self.state.live)
+        pos = np.asarray(self.state.pos)
+        finished = [
+            s for s, r in list(self._slot_req.items()) if not live[s]
+        ]
+        if not finished:
+            return
+        tokens = np.asarray(self.state.tokens[jnp.asarray(finished)])
+        for row, s in enumerate(finished):
+            r = self._slot_req.pop(s)
+            r.tokens = tokens[row, : pos[s] + 1]
+            self._done[r.rid] = r
+            self._free.append(s)
+
+    def step(self):
+        """One engine tick: admit -> one decode segment -> harvest."""
+        self._admit_pending()
+        if self._slot_req:
+            self.state = self._segment(self.state)
+        self._harvest()
+
+    def run_until_done(self, max_segments: int = 10_000):
+        """Drain everything queued/in-flight; returns {rid: tokens}."""
+        n = 0
+        while (self._pending or self._slot_req) and n < max_segments:
+            self.step()
+            n += 1
+        return self.results()
+
+    def results(self) -> Dict[int, np.ndarray]:
+        return {rid: r.tokens for rid, r in self._done.items()}
+
+    @property
+    def n_active(self) -> int:
+        return len(self._slot_req)
