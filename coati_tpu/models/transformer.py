@@ -33,7 +33,9 @@ from coati_tpu.ops.attention import (
     decode_attention,
     decode_attention_quant,
     decode_attention_quant_ragged,
+    decode_attention_quant_ring,
     decode_attention_ragged,
+    decode_attention_ring,
 )
 from coati_tpu.ops.layers import (
     cast_floats,
@@ -638,6 +640,99 @@ def decode_step(
                 attn = decode_attention(
                     q, data[layer, 0], data[layer, 1], pos, prec
                 )
+        x = x + linear(attn.reshape(b, cfg.n_embd), blk.w_proj, blk.b_proj, prec)
+        y = layer_norm(x, blk.ln2_scale, blk.ln2_bias)
+        x = x + linear(
+            gelu_tanh(linear(y, blk.w_fc, blk.b_fc, prec)), blk.w_out, blk.b_out, prec
+        )
+    x = layer_norm(x, params.lnf_scale, params.lnf_bias)
+    logits = linear(x, params.lm_head, None, prec)
+    return logits, KVCache(data=data, scale=scale_arr)
+
+
+def decode_step_ring(
+    params: TransformerParams,
+    cfg: TransformerConfig,
+    token: jnp.ndarray,  # (B,)
+    lpos: jnp.ndarray,  # (B,) int32 — per-row LOGICAL positions
+    ring_pos: jnp.ndarray,  # scalar int32 — ring slot to write
+    cache: KVCache,
+):
+    """Ring-buffer decode step — the continuous-batching engine's hot
+    loop (serving/continuous.py). Rows sit at different logical depths,
+    but every row writes its K/V at the SAME ring slot `ring_pos`, so
+    the cache update is the scalar-position dynamic_update_slice XLA
+    aliases in place (the per-row-position scatter variant,
+    decode_step_ragged, measured ~12x slower per token at pool scale:
+    the batched scatter copies the cache). Per-row state enters only
+    through cheap primitives: rotary tables gathered at lpos, and the
+    attention mask from ring-age arithmetic (decode_attention_ring).
+    Token-for-token equal to decode_step when positions are uniform and
+    the ring hasn't wrapped (tested)."""
+    b = token.shape[0]
+    h, dh = cfg.n_head, cfg.head_dim
+    prec = cfg.mm_precision
+    params = cast_floats(params, cfg.compute_dtype)
+    cos_t, sin_t = rotary_tables(cfg.n_seq, cfg.head_dim)
+    lpos_c = jnp.clip(lpos, 0, cfg.n_seq - 1)
+    cos_r = cos_t[lpos_c].astype(cfg.compute_dtype)[:, None, :]  # (B, 1, Dh)
+    sin_r = sin_t[lpos_c].astype(cfg.compute_dtype)[:, None, :]
+
+    x = params.tok_emb[token]
+    if params.norm_embed_scale is not None:
+        x = layer_norm(x, params.norm_embed_scale, params.norm_embed_bias)
+    x = x.astype(cfg.compute_dtype)  # (B, D)
+
+    quantized = cache.scale is not None
+    data, scale_arr = cache.data, cache.scale
+    for layer in range(cfg.n_layer):
+        blk = jax.tree_util.tree_map(lambda a: a[layer], params.blocks)
+        y = layer_norm(x, blk.ln1_scale, blk.ln1_bias)
+        qkv = linear(y, blk.w_attn, blk.b_attn, prec)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = apply_rotary(q.reshape(b, h, dh), cos_r, sin_r)
+        k = apply_rotary(k.reshape(b, h, dh), cos_r, sin_r)
+        v = v.reshape(b, h, dh)
+        if quantized:
+            k8, ks = quantize_kv(k)
+            v8, vs = quantize_kv(v)
+            data = jax.lax.dynamic_update_slice(
+                data, k8[None, None, :, None], (layer, 0, 0, ring_pos, 0, 0)
+            )
+            data = jax.lax.dynamic_update_slice(
+                data, v8[None, None, :, None], (layer, 1, 0, ring_pos, 0, 0)
+            )
+            scale_arr = jax.lax.dynamic_update_slice(
+                scale_arr,
+                ks.astype(scale_arr.dtype)[None, None, :, None],
+                (layer, 0, 0, ring_pos, 0),
+            )
+            scale_arr = jax.lax.dynamic_update_slice(
+                scale_arr,
+                vs.astype(scale_arr.dtype)[None, None, :, None],
+                (layer, 1, 0, ring_pos, 0),
+            )
+            attn = decode_attention_quant_ring(
+                q,
+                data[layer, 0],
+                scale_arr[layer, 0],
+                data[layer, 1],
+                scale_arr[layer, 1],
+                ring_pos,
+                lpos,
+            )
+        else:
+            data = jax.lax.dynamic_update_slice(
+                data, k.astype(data.dtype)[None, None, :, None],
+                (layer, 0, 0, ring_pos, 0, 0),
+            )
+            data = jax.lax.dynamic_update_slice(
+                data, v.astype(data.dtype)[None, None, :, None],
+                (layer, 1, 0, ring_pos, 0, 0),
+            )
+            attn = decode_attention_ring(
+                q, data[layer, 0], data[layer, 1], ring_pos, lpos, prec
+            )
         x = x + linear(attn.reshape(b, cfg.n_embd), blk.w_proj, blk.b_proj, prec)
         y = layer_norm(x, blk.ln2_scale, blk.ln2_bias)
         x = x + linear(

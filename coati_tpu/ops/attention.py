@@ -136,6 +136,70 @@ def decode_attention_quant_ragged(
     ).astype(q1.dtype)
 
 
+def _ring_valid(ring_pos, lpos, t_max):
+    """(B, T) mask of live ring slots: slot s holds the key of AGE
+    (ring_pos - s) mod T; row b's history spans ages [0, lpos[b]]."""
+    ages = jnp.mod(ring_pos - jnp.arange(t_max), t_max)  # (T,)
+    return ages[None, :] <= lpos[:, None]
+
+
+def decode_attention_ring(
+    q1: jnp.ndarray,
+    k_cache: jnp.ndarray,
+    v_cache: jnp.ndarray,
+    ring_pos: jnp.ndarray,  # scalar int32 — slot just written (age 0)
+    lpos: jnp.ndarray,  # (B,) int32 — current token's LOGICAL position
+    precision: Optional[jax.lax.Precision] = None,
+) -> jnp.ndarray:
+    """Ring-buffer decode attention for the continuous-batching engine
+    (serving/continuous.py): every row writes at the SAME ring slot per
+    step (so the cache update stays a scalar-position
+    dynamic_update_slice — the XLA in-place fast path), and per-row
+    history is selected by AGE arithmetic: slot s holds the key of age
+    (ring_pos - s) mod T, row b attends ages [0, lpos[b]]. Equals
+    decode_attention when the ring hasn't wrapped and positions are
+    uniform (tested). Requires max history < T (the engine sizes the
+    ring with a segment of slack)."""
+    dh = q1.shape[-1]
+    t_max = k_cache.shape[1]
+    scale = 1.0 / jnp.sqrt(jnp.asarray(dh, jnp.float32))
+    scores = jnp.einsum("bhd,bshd->bhs", q1, k_cache, precision=precision)
+    scores = scores.astype(jnp.float32) * scale
+    valid = _ring_valid(ring_pos, lpos, t_max)
+    scores = jnp.where(valid[:, None, :], scores, _NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1).astype(v_cache.dtype)
+    return jnp.einsum("bhs,bshd->bhd", probs, v_cache, precision=precision)
+
+
+def decode_attention_quant_ring(
+    q1: jnp.ndarray,
+    k_data: jnp.ndarray,  # (B, T, H, Dh) int8
+    k_scale: jnp.ndarray,  # (B, T, H)
+    v_data: jnp.ndarray,
+    v_scale: jnp.ndarray,
+    ring_pos: jnp.ndarray,  # scalar
+    lpos: jnp.ndarray,  # (B,)
+) -> jnp.ndarray:
+    """decode_attention_quant over a ring cache (see
+    decode_attention_ring); scales factor out exactly as in the
+    linear-position version."""
+    dh = q1.shape[-1]
+    t_max = k_data.shape[1]
+    scale = 1.0 / jnp.sqrt(jnp.asarray(dh, jnp.float32))
+    scores = jnp.einsum(
+        "bhd,bshd->bhs", q1.astype(jnp.float32), k_data.astype(jnp.float32)
+    )
+    scores = scores * jnp.transpose(k_scale, (0, 2, 1)).astype(jnp.float32)
+    scores = scores * scale
+    valid = _ring_valid(ring_pos, lpos, t_max)
+    scores = jnp.where(valid[:, None, :], scores, _NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    probs = probs * jnp.transpose(v_scale, (0, 2, 1)).astype(jnp.float32)
+    return jnp.einsum(
+        "bhs,bshd->bhd", probs, v_data.astype(jnp.float32)
+    ).astype(q1.dtype)
+
+
 def decode_attention(
     q1: jnp.ndarray,
     k_cache: jnp.ndarray,

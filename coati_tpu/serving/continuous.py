@@ -6,18 +6,28 @@ co-batched short request pay max length. This engine fixes that the
 TPU-native way — static shapes, jitted segments, host control only at
 segment boundaries:
 
-  * a fixed pool of N_SLOTS rows with a width-W KV cache lives on
-    device; every row carries its OWN position (decode_step_ragged —
-    per-row rotary/cache-scatter/attention masks);
+  * a fixed pool of N_SLOTS rows with a RING-BUFFER KV cache lives on
+    device. Rows sit at different logical depths, but every row writes
+    its K/V at the SAME ring slot each step (a global clock), so the
+    cache update stays a scalar-position dynamic_update_slice — the
+    pattern XLA aliases in place. Per-row state enters only through
+    cheap primitives: rotary tables gathered at each row's logical
+    position, and attention masks from ring-AGE arithmetic
+    (decode_step_ring / decode_attention_ring). A first version
+    scattered at per-row positions instead (decode_step_ragged) and
+    measured ~12x slower per token at pool scale — batched scatter
+    COPIES the cache; the ring formulation is the TPU-native fix.
   * decode runs in SEGMENTS of `segment_len` tokens compiled as one
     program (early-exiting when every live row stops);
   * between segments the host HARVESTS finished rows (their slots free
     immediately — a short molecule never waits for a long one) and
     ADMITS queued requests into free slots: each admission group is
-    prefilled in one program and scattered into the pool cache. Group
-    sizes are bucketed to powers of two (padding rows scatter into a
-    scratch slot) so the engine compiles O(log N_SLOTS) admission
-    programs total.
+    prefilled in one program and its prefix K/V placed at the ring
+    slots of the preceding clocks. Group sizes are bucketed to powers
+    of two, so the engine compiles O(log N_SLOTS) admission programs
+    total. Ring width = total_len + segment_len (rounded to 16): a
+    row's oldest key ages past overwrite exactly when the row is
+    guaranteed finished.
 
 Beyond-parity: the reference has no serving at all (its sampler
 re-runs the full prefix per token, smiles_xformer.py:296-311).
@@ -43,7 +53,7 @@ from coati_tpu.models.transformer import (
     KVCache,
     TransformerConfig,
     TransformerParams,
-    decode_step_ragged,
+    decode_step_ring,
     make_empty_cache,
     prefill,
 )
@@ -53,13 +63,17 @@ from coati_tpu.ops.sampling import sample_top_k
 @struct.dataclass
 class PoolState:
     """Device-resident slot pool. Row N_SLOTS is a spare scratch row
-    (kept never-live as a safety margin for future padded admissions)."""
+    (kept never-live as a safety margin for future padded admissions).
+    `lpos` is each row's LOGICAL position (index of `cur` in its own
+    sequence); `clock` is the global ring cursor (mod ring width) —
+    ring slot (clock) is where the NEXT step writes every row's K/V."""
 
-    tokens: jnp.ndarray  # (S+1, W) int32
-    pos: jnp.ndarray  # (S+1,) int32 — position of `cur` per row
+    tokens: jnp.ndarray  # (S+1, W_out) int32
+    lpos: jnp.ndarray  # (S+1,) int32
     cur: jnp.ndarray  # (S+1,) int32 — current input token
     live: jnp.ndarray  # (S+1,) bool
-    cache: KVCache
+    clock: jnp.ndarray  # scalar int32, in [0, W_ring)
+    cache: KVCache  # width W_ring ring buffer
     rng: jax.Array
 
 
@@ -94,8 +108,17 @@ class ContinuousDecoder:
         inv_temp: float = 2.0,
         segment_len: int = 16,
         seed: int = 0,
+        inj_transform=None,
     ):
-        self.params = params
+        """inj_transform: optional jittable (g, D_in) -> (g, D) map
+        applied to each admission group INSIDE the jitted admission
+        program (e.g. the COATI token-MLP clip_to_special_token) — so
+        callers can submit raw clip embeddings at zero extra dispatch
+        cost."""
+        # jitted segment/admission programs CLOSE OVER the params:
+        # ensure device arrays (document-loaded params arrive as numpy,
+        # which cannot be indexed by tracers)
+        self.params = jax.tree_util.tree_map(jnp.asarray, params)
         self.cfg = cfg
         self.prefix = list(prefix)
         self.n_slots = n_slots
@@ -106,15 +129,21 @@ class ContinuousDecoder:
         self.k = k
         self.inv_temp = inv_temp
         self.segment_len = segment_len
+        self.inj_transform = inj_transform
         assert len(self.prefix) >= 1 and len(self.prefix) < self.w
+        # ring width: a row's oldest key reaches overwrite age exactly
+        # when the row is past its maximum lifetime; one segment of
+        # slack + 16-alignment
+        self.w_ring = ((self.w + segment_len + 15) // 16) * 16
 
         s = n_slots + 1  # + scratch row
         self.state = PoolState(
             tokens=jnp.zeros((s, self.w), jnp.int32),
-            pos=jnp.zeros((s,), jnp.int32),
+            lpos=jnp.zeros((s,), jnp.int32),
             cur=jnp.zeros((s,), jnp.int32),
             live=jnp.zeros((s,), bool),
-            cache=make_empty_cache(cfg, s, width=self.w),
+            clock=jnp.zeros((), jnp.int32),
+            cache=make_empty_cache(cfg, s, width=self.w_ring),
             rng=jax.random.PRNGKey(seed),
         )
         self._free: List[int] = list(range(n_slots))
@@ -138,25 +167,26 @@ class ContinuousDecoder:
 
         def body(carry):
             i, st = carry
-            logits, cache = decode_step_ragged(
-                self.params, self.cfg, st.cur, st.pos, st.cache
+            logits, cache = decode_step_ring(
+                self.params, self.cfg, st.cur, st.lpos, st.clock, st.cache
             )
             rng, sub = jax.random.split(st.rng)
             nxt = sample_top_k(
                 sub, logits.astype(jnp.float32), self.k, self.inv_temp,
                 approx=True, recall_target=self.cfg.topk_recall,
             )
-            can = st.live & (st.pos + 1 < w)
+            can = st.live & (st.lpos + 1 < w)
             nxt = jnp.where(can, nxt, self.pad_token)
-            wpos = jnp.clip(st.pos + 1, 0, w - 1)
+            wpos = jnp.clip(st.lpos + 1, 0, w - 1)
             tokens = st.tokens.at[rows, wpos].set(
                 jnp.where(can, nxt, st.tokens[rows, wpos])
             )
             live = can & (nxt != self.stop_token)
-            pos = jnp.where(can, st.pos + 1, st.pos)
+            lpos = jnp.where(can, st.lpos + 1, st.lpos)
             cur = jnp.where(can, nxt, st.cur)
             return i + 1, PoolState(
-                tokens=tokens, pos=pos, cur=cur, live=live,
+                tokens=tokens, lpos=lpos, cur=cur, live=live,
+                clock=jnp.mod(st.clock + 1, self.w_ring),
                 cache=cache, rng=rng,
             )
 
@@ -171,11 +201,13 @@ class ContinuousDecoder:
         programs)."""
         g = slots.shape[0]
         rng = state.rng
+        if self.inj_transform is not None:
+            inj = self.inj_transform(inj)
         p = len(self.prefix)
         ptoks = jnp.broadcast_to(
             jnp.asarray(self.prefix, jnp.int32)[None, :], (g, p)
         )
-        cache = make_empty_cache(self.cfg, g, width=self.w)
+        cache = make_empty_cache(self.cfg, g, width=max(p, 8))
         hidden, cache = prefill(
             self.params, self.cfg, ptoks,
             injection=inj if self.inject_token is not None else None,
@@ -193,21 +225,25 @@ class ContinuousDecoder:
         tokens = tokens.at[:, p].set(first)
 
         st_tokens = state.tokens.at[slots].set(tokens)
-        st_pos = state.pos.at[slots].set(p)
+        st_lpos = state.lpos.at[slots].set(p)
         st_cur = state.cur.at[slots].set(first)
         st_live = state.live.at[slots].set(first != self.stop_token)
-        data = state.cache.data.at[:, :, slots].set(
-            cache.data.astype(state.cache.data.dtype)
+        # place the prefix K/V at the ring slots of the p clocks
+        # PRECEDING the next step: logical j lands at age p - j
+        cols = jnp.mod(state.clock - p + jnp.arange(p), self.w_ring)
+        data = state.cache.data.at[:, :, slots[:, None], cols[None, :]].set(
+            cache.data[:, :, :, :p].astype(state.cache.data.dtype)
         )
         scale = state.cache.scale
         if scale is not None:
-            scale = scale.at[:, :, slots].set(
-                cache.scale.astype(scale.dtype)
+            scale = scale.at[:, :, slots[:, None], cols[None, :]].set(
+                cache.scale[:, :, :, :p].astype(scale.dtype)
             )
         # scratch row is never live, whatever was scattered into it
         st_live = st_live.at[self.n_slots].set(False)
         return PoolState(
-            tokens=st_tokens, pos=st_pos, cur=st_cur, live=st_live,
+            tokens=st_tokens, lpos=st_lpos, cur=st_cur, live=st_live,
+            clock=state.clock,
             cache=KVCache(data=data, scale=scale), rng=rng,
         )
 
@@ -251,18 +287,19 @@ class ContinuousDecoder:
 
     def _harvest(self):
         live = np.asarray(self.state.live)
-        pos = np.asarray(self.state.pos)
+        pos = np.asarray(self.state.lpos)
         finished = [
             s for s, r in list(self._slot_req.items()) if not live[s]
         ]
         if not finished:
             return
         tokens = np.asarray(self.state.tokens[jnp.asarray(finished)])
-        for row, s in enumerate(finished):
-            r = self._slot_req.pop(s)
-            r.tokens = tokens[row, : pos[s] + 1]
-            self._done[r.rid] = r
-            self._free.append(s)
+        with self._lock:
+            for row, s in enumerate(finished):
+                r = self._slot_req.pop(s)
+                r.tokens = tokens[row, : pos[s] + 1]
+                self._done[r.rid] = r
+                self._free.append(s)
 
     def step(self):
         """One engine tick: admit -> one decode segment -> harvest."""
@@ -282,6 +319,86 @@ class ContinuousDecoder:
     def results(self) -> Dict[int, np.ndarray]:
         return {rid: r.tokens for rid, r in self._done.items()}
 
+    def pop_results(self) -> Dict[int, np.ndarray]:
+        """Drain completed requests (each returned exactly once)."""
+        with self._lock:
+            out = {rid: r.tokens for rid, r in self._done.items()}
+            self._done.clear()
+        return out
+
     @property
     def n_active(self) -> int:
         return len(self._slot_req)
+
+
+class ContinuousService:
+    """MicroBatcher-compatible facade over a ContinuousDecoder: submit()
+    returns a Future, a daemon driver thread ticks the engine whenever
+    work is queued or in flight, and each finished row resolves ITS
+    future at the next segment boundary — no drain-the-cohort coupling.
+    `decode_fn(tokens) -> result` maps a finished token row (prefix
+    included, stop inclusive) to the caller-facing payload."""
+
+    def __init__(self, engine: ContinuousDecoder, decode_fn,
+                 idle_sleep: float = 0.005, name: str = "continuous"):
+        from concurrent.futures import Future
+
+        self._engine = engine
+        self._decode_fn = decode_fn
+        self._idle_sleep = idle_sleep
+        self._futures: Dict[int, "Future"] = {}
+        self._lock = threading.Lock()
+        self._closed = False
+        self._thread = threading.Thread(
+            target=self._run, name=name, daemon=True
+        )
+        self._thread.start()
+
+    def submit(self, inj_row):
+        from concurrent.futures import Future
+
+        if self._closed:
+            raise RuntimeError("service is closed")
+        fut: Future = Future()
+        rid = self._engine.submit(inj_row)
+        with self._lock:
+            self._futures[rid] = fut
+        return fut
+
+    def __call__(self, inj_row):
+        return self.submit(inj_row).result()
+
+    def _run(self):
+        import time as _time
+
+        while not self._closed:
+            eng = self._engine
+            if eng._pending or eng.n_active:
+                try:
+                    eng.step()
+                except Exception as ex:  # noqa: BLE001 — fail all waiters
+                    with self._lock:
+                        futs, self._futures = self._futures, {}
+                    for f in futs.values():
+                        if not f.done():
+                            f.set_exception(ex)
+                    continue
+                for rid, tokens in eng.pop_results().items():
+                    with self._lock:
+                        fut = self._futures.pop(rid, None)
+                    if fut is not None and not fut.done():
+                        try:
+                            fut.set_result(self._decode_fn(tokens))
+                        except Exception as ex:  # noqa: BLE001
+                            fut.set_exception(ex)
+            else:
+                _time.sleep(self._idle_sleep)
+
+    def close(self, timeout: float = 5.0):
+        self._closed = True
+        self._thread.join(timeout)
+        with self._lock:
+            futs, self._futures = self._futures, {}
+        for f in futs.values():
+            if not f.done():
+                f.set_exception(RuntimeError("service is closed"))

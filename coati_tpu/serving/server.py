@@ -95,10 +95,31 @@ class CoatiInferenceServer:
         max_batch: int = 256,
         flush_ms: float = 20.0,
         mesh=None,
+        continuous: bool = False,
+        n_slots: int = 64,
     ):
         """mesh: optional jax.sharding.Mesh — wraps the model in
         ShardedCOATI (parallel/inference.py) so request batches split
-        over the `data` axis (multi-chip serving; COATI1 models only)."""
+        over the `data` axis (multi-chip serving; COATI1 models only).
+
+        continuous: serve /generate through ContinuousDecoder slot
+        pools (n_slots rows per (k, inv_temp) config) instead of
+        drain-the-cohort micro-batches — a finished molecule returns at
+        the next segment boundary instead of waiting for the longest
+        co-batched one (docs/SERVING.md "Continuous batching").
+        COATI1, top_p=None requests only; others fall back to the
+        micro-batcher."""
+        if continuous and hasattr(model, "hcoati_to_2d_batch"):
+            raise NotImplementedError(
+                "continuous batching serves COATI1 models only"
+            )
+        if continuous and mesh is not None and mesh.devices.size > 1:
+            raise NotImplementedError(
+                "continuous batching is single-device (the slot pool "
+                "does not shard); use the micro-batcher with a mesh"
+            )
+        self._continuous = continuous
+        self._n_slots = n_slots
         if mesh is not None and mesh.devices.size > 1:
             if hasattr(model, "hcoati_to_2d_batch"):
                 raise NotImplementedError(
@@ -145,16 +166,62 @@ class CoatiInferenceServer:
                         f"(> {self.MAX_GEN_PROGRAMS}); reuse existing ones"
                     )
                 fe = self.frontend
+                if (
+                    self._continuous
+                    and top_p is None
+                    and not fe.is_coati2
+                    and hasattr(fe.model, "params")
+                ):
+                    self._gen_batchers[key] = self._make_continuous(
+                        int(k), float(inv_temp)
+                    )
+                else:
 
-                def gen_fn(rows, _key=key):
-                    kk, it, tp = _key
-                    return fe.generate(np.stack(rows), kk, it, 0.0, top_p=tp)
+                    def gen_fn(rows, _key=key):
+                        kk, it, tp = _key
+                        return fe.generate(
+                            np.stack(rows), kk, it, 0.0, top_p=tp
+                        )
 
-                self._gen_batchers[key] = MicroBatcher(
-                    gen_fn, max_batch=self._max_batch,
-                    flush_ms=self._flush_ms, name=f"gen-batcher{key}",
-                )
+                    self._gen_batchers[key] = MicroBatcher(
+                        gen_fn, max_batch=self._max_batch,
+                        flush_ms=self._flush_ms, name=f"gen-batcher{key}",
+                    )
             return self._gen_batchers[key]
+
+    def _make_continuous(self, k: int, inv_temp: float):
+        """A ContinuousService slot pool for one (k, inv_temp) config
+        (see docs/SERVING.md 'Continuous batching')."""
+        from coati_tpu.models.coati import clip_to_special_token
+        from coati_tpu.ops.layers import cast_floats
+        from coati_tpu.serving.continuous import (
+            ContinuousDecoder,
+            ContinuousService,
+        )
+
+        model = self.frontend.model
+        tok = self.frontend.tokenizer
+        xcfg = model.config.xformer_config
+        prefix = list(tok.tokenize_text("[CLIP][UNK][SMILES]", pad=False))
+        cparams = cast_floats(model.params, xcfg.compute_dtype)
+
+        def inj_transform(h):
+            return clip_to_special_token(cparams, h.astype(xcfg.compute_dtype))
+
+        engine = ContinuousDecoder(
+            model.params.xformer, xcfg, prefix,
+            n_slots=self._n_slots,
+            stop_token=tok.stop_token, pad_token=tok.pad_token,
+            inject_token=tok.unk_token, k=k, inv_temp=inv_temp,
+            inj_transform=inj_transform,
+        )
+
+        def decode_fn(tokens):
+            return tok.decode(list(tokens[len(prefix):]), special=False)
+
+        return ContinuousService(
+            engine, decode_fn, name=f"continuous-{k}-{inv_temp}"
+        )
 
     # ------------------------------------------------------- request ops
 

@@ -109,6 +109,23 @@ def train_model(tmpdir):
         model_dir=os.path.join(tmpdir, "ckpts"),
     )
     config.n_epochs = 1
+    # rdkit is absent, so this corpus has NO real conformers — the
+    # grande default p_clip_emb_smi=0.5 injects random-coords point
+    # embeddings into half the AR rows, which caps how well embed->
+    # decode conditioning can train. EVAL_P_SMI=1.0 injects the SMILES
+    # clip token always (the signal generation actually conditions on),
+    # trading recipe fidelity for a decode-quality-evaluable model.
+    config.p_clip_emb_smi = float(
+        os.environ.get("EVAL_P_SMI", config.p_clip_emb_smi)
+    )
+    # likewise, p_randsmiles=0.3 trains the decoder to emit RANDOM
+    # valid SMILES forms of each molecule; without rdkit to canonicalize
+    # the decode, exact-string round-trip is then capped well below 100%
+    # even under perfect conditioning. EVAL_P_RAND=0 makes exact match
+    # a meaningful metric on this image.
+    config.p_randsmiles = float(
+        os.environ.get("EVAL_P_RAND", config.p_randsmiles)
+    )
     smiles = chembl_smiles()
     print(f"corpus: {len(smiles)} ChEMBL molecules; grande config "
           f"{config.n_layer_xformer}x{config.n_hidden_xformer}/"

@@ -58,6 +58,72 @@ def test_ragged_equals_uniform(kv_dtype):
         token = jnp.argmax(lg_u, -1)
 
 
+@pytest.mark.parametrize("kv_dtype", ["compute", "int8"])
+def test_ring_equals_uniform(kv_dtype):
+    """decode_step_ring at uniform positions with clock == lpos must
+    reproduce decode_step exactly (the unwrapped ring is the linear
+    cache)."""
+    from coati_tpu.models.transformer import decode_step_ring
+
+    cfg = _cfg(kv_dtype=kv_dtype)
+    params = init_transformer(jax.random.PRNGKey(0), cfg)
+    b = 5
+    token = jax.random.randint(jax.random.PRNGKey(1), (b,), 0, cfg.n_tok)
+    cache_u = make_empty_cache(cfg, b)
+    cache_r = make_empty_cache(cfg, b)
+    for pos in range(4):
+        lg_u, cache_u = decode_step(
+            params, cfg, token, jnp.asarray(pos), cache_u
+        )
+        lg_r, cache_r = decode_step_ring(
+            params, cfg, token,
+            jnp.full((b,), pos, jnp.int32), jnp.asarray(pos), cache_r,
+        )
+        np.testing.assert_allclose(
+            np.asarray(lg_r), np.asarray(lg_u), atol=1e-5, rtol=1e-5
+        )
+        token = jnp.argmax(lg_u, -1)
+
+
+def test_ring_wraparound():
+    """A row whose history spans the ring seam must attend the same
+    keys as a linear cache: advance a row past W_ring and compare
+    against decode_step on a wide linear cache."""
+    from coati_tpu.models.transformer import decode_step_ring
+
+    cfg = _cfg(n_seq=64)
+    params = init_transformer(jax.random.PRNGKey(0), cfg)
+    b, w_ring, depth = 2, 16, 24  # history 10 < w_ring, total steps wrap
+    keep = 10  # row restarted at step depth-keep so live history fits
+
+    tok0 = jax.random.randint(jax.random.PRNGKey(1), (b,), 1, cfg.n_tok)
+    cache_r = make_empty_cache(cfg, b, width=w_ring)
+    cache_l = make_empty_cache(cfg, b, width=64)
+    t_r = t_l = tok0
+    lg_r = lg_l = None
+    lpos = jnp.zeros((b,), jnp.int32)
+    for step in range(depth):
+        restart = step == depth - keep
+        if restart:
+            # "re-admission": logical position resets mid-ring
+            lpos = jnp.zeros((b,), jnp.int32)
+            t_r = tok0 + 1
+            t_l = tok0 + 1
+            cache_l = make_empty_cache(cfg, b, width=64)
+        lg_r, cache_r = decode_step_ring(
+            params, cfg, t_r, lpos, jnp.asarray(step % w_ring), cache_r
+        )
+        lg_l, cache_l = decode_step_ring(
+            params, cfg, t_l, lpos,
+            jnp.asarray(int(lpos[0])), cache_l,
+        )
+        np.testing.assert_allclose(
+            np.asarray(lg_r), np.asarray(lg_l), atol=2e-5, rtol=2e-5
+        )
+        t_r = t_l = jnp.argmax(lg_l, -1)
+        lpos = lpos + 1
+
+
 def test_truly_ragged_positions():
     """Rows at DIFFERENT positions: each row's logits must equal the
     same row advanced through uniform decode_step calls on its own."""

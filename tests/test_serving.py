@@ -230,3 +230,41 @@ def test_bad_smiles_does_not_poison_cobatched_requests(server):
         t.join(60)
     assert not errors
     assert len(results) == 4
+
+
+def test_server_continuous_mode():
+    """continuous=True serves /generate through the slot-pool engine:
+    concurrent mixed requests all complete, and top_p requests fall
+    back to the micro-batcher (engine doesn't compile top_p)."""
+    from coati_tpu.serving.batcher import MicroBatcher
+    from coati_tpu.serving.continuous import ContinuousService
+
+    tok = TrieTokenizer(n_seq=48, **get_vocab("mar_verysimple"))
+    cfg = CoatiConfig(
+        n_layer_e3gnn=1, n_layer_xformer=2, n_hidden_xformer=32,
+        n_hidden_e3nn=16, n_embd_common=32, n_head=2, n_seq=48,
+        n_tok=tok.n_token, norm_clips=True, token_mlp=True,
+    )
+    model = COATI(init_coati(jax.random.PRNGKey(0), cfg), cfg)
+    srv = CoatiInferenceServer(
+        model, tok, port=0, continuous=True, n_slots=4
+    )
+    srv.start()
+    try:
+        out = _post(srv, "/embed", {"smiles": ["CCO", "CC", "CCC"]})
+        h = out["embeddings"]
+        gen = _post(srv, "/generate", {"embeddings": h * 2, "k": 8})
+        assert len(gen["smiles"]) == 6
+        assert all(isinstance(s, str) for s in gen["smiles"])
+        assert isinstance(
+            srv._gen_batcher(8, 2.0), ContinuousService
+        )
+        # top_p routes to the micro-batcher fallback
+        gen2 = _post(
+            srv, "/generate",
+            {"embeddings": h, "k": 8, "top_p": 0.9},
+        )
+        assert len(gen2["smiles"]) == 3
+        assert isinstance(srv._gen_batcher(8, 2.0, 0.9), MicroBatcher)
+    finally:
+        srv.stop()
