@@ -72,6 +72,7 @@ class PoolState:
     lpos: jnp.ndarray  # (S+1,) int32
     cur: jnp.ndarray  # (S+1,) int32 — current input token
     live: jnp.ndarray  # (S+1,) bool
+    row_max: jnp.ndarray  # (S+1,) int32 — per-request length budget
     clock: jnp.ndarray  # scalar int32, in [0, W_ring)
     cache: KVCache  # width W_ring ring buffer
     rng: jax.Array
@@ -81,6 +82,7 @@ class PoolState:
 class _Request:
     rid: int
     injection: np.ndarray
+    max_len: int = 0  # total row budget incl. prefix (0 = engine cap)
     tokens: Optional[np.ndarray] = None  # filled at harvest
 
 
@@ -106,11 +108,16 @@ class ContinuousDecoder:
         inject_token: Optional[int] = None,
         k: int = 100,
         inv_temp: float = 2.0,
-        segment_len: int = 16,
+        segment_len: int = 48,
         seed: int = 0,
         inj_transform=None,
+        inj_dim: Optional[int] = None,
     ):
-        """inj_transform: optional jittable (g, D_in) -> (g, D) map
+        """inj_dim: raw injection width as submitted (defaults to the
+        model width; set when inj_transform changes it — warmup() needs
+        the pre-transform shape).
+
+        inj_transform: optional jittable (g, D_in) -> (g, D) map
         applied to each admission group INSIDE the jitted admission
         program (e.g. the COATI token-MLP clip_to_special_token) — so
         callers can submit raw clip embeddings at zero extra dispatch
@@ -130,6 +137,7 @@ class ContinuousDecoder:
         self.inv_temp = inv_temp
         self.segment_len = segment_len
         self.inj_transform = inj_transform
+        self.inj_dim = inj_dim
         assert len(self.prefix) >= 1 and len(self.prefix) < self.w
         # ring width: a row's oldest key reaches overwrite age exactly
         # when the row is past its maximum lifetime; one segment of
@@ -142,6 +150,7 @@ class ContinuousDecoder:
             lpos=jnp.zeros((s,), jnp.int32),
             cur=jnp.zeros((s,), jnp.int32),
             live=jnp.zeros((s,), bool),
+            row_max=jnp.full((s,), self.w, jnp.int32),
             clock=jnp.zeros((), jnp.int32),
             cache=make_empty_cache(cfg, s, width=self.w_ring),
             rng=jax.random.PRNGKey(seed),
@@ -175,7 +184,7 @@ class ContinuousDecoder:
                 sub, logits.astype(jnp.float32), self.k, self.inv_temp,
                 approx=True, recall_target=self.cfg.topk_recall,
             )
-            can = st.live & (st.lpos + 1 < w)
+            can = st.live & (st.lpos + 1 < jnp.minimum(w, st.row_max))
             nxt = jnp.where(can, nxt, self.pad_token)
             wpos = jnp.clip(st.lpos + 1, 0, w - 1)
             tokens = st.tokens.at[rows, wpos].set(
@@ -186,6 +195,7 @@ class ContinuousDecoder:
             cur = jnp.where(can, nxt, st.cur)
             return i + 1, PoolState(
                 tokens=tokens, lpos=lpos, cur=cur, live=live,
+                row_max=st.row_max,
                 clock=jnp.mod(st.clock + 1, self.w_ring),
                 cache=cache, rng=rng,
             )
@@ -193,7 +203,7 @@ class ContinuousDecoder:
         _, state = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
         return state
 
-    def _admit_fn(self, state: PoolState, slots, inj):
+    def _admit_fn(self, state: PoolState, slots, inj, row_max):
         """Prefill `g` new rows on the common prefix with per-row
         injection and scatter them into the pool (g static per
         admission-bucket size — groups are sized to powers of two, so
@@ -227,7 +237,10 @@ class ContinuousDecoder:
         st_tokens = state.tokens.at[slots].set(tokens)
         st_lpos = state.lpos.at[slots].set(p)
         st_cur = state.cur.at[slots].set(first)
-        st_live = state.live.at[slots].set(first != self.stop_token)
+        st_live = state.live.at[slots].set(
+            (first != self.stop_token) & (row_max > p + 1)
+        )
+        st_row_max = state.row_max.at[slots].set(row_max)
         # place the prefix K/V at the ring slots of the p clocks
         # PRECEDING the next step: logical j lands at age p - j
         cols = jnp.mod(state.clock - p + jnp.arange(p), self.w_ring)
@@ -243,7 +256,7 @@ class ContinuousDecoder:
         st_live = st_live.at[self.n_slots].set(False)
         return PoolState(
             tokens=st_tokens, lpos=st_lpos, cur=st_cur, live=st_live,
-            clock=state.clock,
+            row_max=st_row_max, clock=state.clock,
             cache=KVCache(data=data, scale=scale), rng=rng,
         )
 
@@ -254,14 +267,25 @@ class ContinuousDecoder:
 
     # ------------------------------------------------------------- host
 
-    def submit(self, injection: np.ndarray) -> int:
+    def submit(
+        self, injection: np.ndarray, max_new_tokens: Optional[int] = None
+    ) -> int:
         """Queue one request; returns a request id. Thread-safe — any
-        thread may submit while another drives step()/run_until_done()."""
+        thread may submit while another drives step()/run_until_done().
+        max_new_tokens: optional per-request decode budget (standard
+        serving knob; the row retires at the budget even if the model
+        hasn't emitted [STOP])."""
+        cap = self.w - len(self.prefix)
+        budget = cap if max_new_tokens is None else min(max_new_tokens, cap)
         with self._lock:
             rid = self._next_rid
             self._next_rid += 1
             self._pending.append(
-                _Request(rid=rid, injection=np.asarray(injection, np.float32))
+                _Request(
+                    rid=rid,
+                    injection=np.asarray(injection, np.float32),
+                    max_len=len(self.prefix) + budget,
+                )
             )
         return rid
 
@@ -281,25 +305,57 @@ class ContinuousDecoder:
         inj = jnp.asarray(
             np.stack([r.injection for r in batch]), self.cfg.compute_dtype
         )
+        row_max = jnp.asarray([r.max_len for r in batch], jnp.int32)
         self.state = self._admit_jit(g)(
-            self.state, jnp.asarray(slots, jnp.int32), inj
+            self.state, jnp.asarray(slots, jnp.int32), inj, row_max
         )
 
     def _harvest(self):
-        live = np.asarray(self.state.live)
-        pos = np.asarray(self.state.lpos)
+        # ONE fixed-shape transfer for everything ((S, W) int32 tokens
+        # are ~65 KB): the tunnel charges ~29 ms per host sync, and a
+        # variable-length `tokens[finished]` gather compiles a NEW tiny
+        # program per distinct finished-count — one such first-hit
+        # mid-load measured as a 13 s straggler
+        live, pos, tokens = jax.device_get(
+            (self.state.live, self.state.lpos, self.state.tokens)
+        )
         finished = [
             s for s, r in list(self._slot_req.items()) if not live[s]
         ]
         if not finished:
             return
-        tokens = np.asarray(self.state.tokens[jnp.asarray(finished)])
         with self._lock:
-            for row, s in enumerate(finished):
+            for s in finished:
                 r = self._slot_req.pop(s)
-                r.tokens = tokens[row, : pos[s] + 1]
+                r.tokens = tokens[s, : pos[s] + 1]
                 self._done[r.rid] = r
                 self._free.append(s)
+
+    def warmup(self, group_sizes=None):
+        """Precompile the segment program and every admission program
+        (power-of-two group sizes up to n_slots) before serving traffic
+        — compiles run 15-20 s each on a cold device, and an admission
+        size first hit mid-load would stall every in-flight request.
+        Runs against a CLONE of the pristine state; engine state and
+        bookkeeping are untouched."""
+        if group_sizes is None:
+            group_sizes = []
+            g = 1
+            while g <= self.n_slots:
+                group_sizes.append(g)
+                g *= 2
+        d_in = self.inj_dim or self.cfg.n_embd
+        for g in group_sizes:
+            clone = jax.tree_util.tree_map(jnp.copy, self.state)
+            inj = jnp.zeros((g, d_in), self.cfg.compute_dtype)
+            out = self._admit_jit(g)(
+                clone, jnp.arange(g, dtype=jnp.int32), inj,
+                jnp.full((g,), self.w, jnp.int32),
+            )
+            np.asarray(out.live)
+        clone = jax.tree_util.tree_map(jnp.copy, self.state)
+        clone = clone.replace(live=clone.live.at[0].set(True))
+        np.asarray(self._segment(clone).live)
 
     def step(self):
         """One engine tick: admit -> one decode segment -> harvest."""

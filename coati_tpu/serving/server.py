@@ -213,8 +213,9 @@ class CoatiInferenceServer:
             n_slots=self._n_slots,
             stop_token=tok.stop_token, pad_token=tok.pad_token,
             inject_token=tok.unk_token, k=k, inv_temp=inv_temp,
-            inj_transform=inj_transform,
+            inj_transform=inj_transform, inj_dim=model.embed_dim,
         )
+        engine.warmup()  # admission-size first-hits would stall traffic
 
         def decode_fn(tokens):
             return tok.decode(list(tokens[len(prefix):]), special=False)

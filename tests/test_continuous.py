@@ -238,6 +238,32 @@ def test_engine_int8_cache():
         assert list(toks[:3]) == PREFIX
 
 
+def test_per_request_max_new_tokens():
+    """Budgeted requests retire at their own token budget while
+    co-batched unbudgeted rows keep going (a random-weight model rarely
+    emits [STOP], so the budgets bind)."""
+    cfg = _cfg()
+    params = init_transformer(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(3)
+    eng = ContinuousDecoder(
+        params, cfg, PREFIX, n_slots=4, stop_token=STOP, pad_token=PAD,
+        inject_token=UNK, k=5, segment_len=4,
+    )
+    budgets = [2, 6, 11, None]
+    rids = [
+        eng.submit(rng.normal(size=(cfg.n_embd,)), max_new_tokens=b)
+        for b in budgets
+    ]
+    results = eng.run_until_done()
+    for rid, b in zip(rids, budgets):
+        toks = results[rid]
+        cap = (b if b is not None else cfg.n_seq - len(PREFIX))
+        assert len(toks) <= len(PREFIX) + cap
+        if STOP not in list(toks):
+            # budget-bound row: fills its budget exactly
+            assert len(toks) == len(PREFIX) + cap
+
+
 def test_concurrent_submission():
     """Producer threads submit while the engine thread drains — every
     request completes exactly once."""
