@@ -126,6 +126,11 @@ def train_model(tmpdir):
     config.p_randsmiles = float(
         os.environ.get("EVAL_P_RAND", config.p_randsmiles)
     )
+    # embed->decode conditioning on a 566-molecule corpus is a
+    # memorization regime: the recipe's 5e-4 plateaus at ar_l ~1.3 by
+    # 3k steps; the small-model eval (eval_int8_decode.py) conditions
+    # fully at 2e-3
+    config.lr = float(os.environ.get("EVAL_LR", config.lr))
     smiles = chembl_smiles()
     print(f"corpus: {len(smiles)} ChEMBL molecules; grande config "
           f"{config.n_layer_xformer}x{config.n_hidden_xformer}/"
