@@ -139,6 +139,10 @@ class ContinuousDecoder:
         self.inj_transform = inj_transform
         self.inj_dim = inj_dim
         assert len(self.prefix) >= 1 and len(self.prefix) < self.w
+        assert self.w <= cfg.n_seq, (
+            f"total_len {self.w} exceeds the model's rotary range "
+            f"(n_seq {cfg.n_seq})"
+        )
         # ring width: a row's oldest key reaches overwrite age exactly
         # when the row is past its maximum lifetime; one segment of
         # slack + 16-alignment
@@ -276,7 +280,12 @@ class ContinuousDecoder:
         serving knob; the row retires at the budget even if the model
         hasn't emitted [STOP])."""
         cap = self.w - len(self.prefix)
-        budget = cap if max_new_tokens is None else min(max_new_tokens, cap)
+        budget = (
+            cap if max_new_tokens is None
+            # admission always realizes the first sampled token, so the
+            # smallest honorable budget is 1
+            else max(1, min(max_new_tokens, cap))
+        )
         with self._lock:
             rid = self._next_rid
             self._next_rid += 1
@@ -290,25 +299,28 @@ class ContinuousDecoder:
         return rid
 
     def _admit_pending(self):
-        with self._lock:
-            n = min(len(self._pending), len(self._free))
-            if n == 0:
-                return
-            # admission groups are power-of-two sized (see _admit_fn)
-            g = 1
-            while g * 2 <= n:
-                g *= 2
-            batch = [self._pending.pop(0) for _ in range(g)]
-        slots = [self._free.pop(0) for _ in range(g)]
-        for r, s in zip(batch, slots):
-            self._slot_req[s] = r
-        inj = jnp.asarray(
-            np.stack([r.injection for r in batch]), self.cfg.compute_dtype
-        )
-        row_max = jnp.asarray([r.max_len for r in batch], jnp.int32)
-        self.state = self._admit_jit(g)(
-            self.state, jnp.asarray(slots, jnp.int32), inj, row_max
-        )
+        # drain the queue into free slots in power-of-two groups (see
+        # _admit_fn) — e.g. 13 pending over 13 free slots admits as
+        # 8+4+1 in one tick rather than leaving stragglers a segment
+        while True:
+            with self._lock:
+                n = min(len(self._pending), len(self._free))
+                if n == 0:
+                    return
+                g = 1
+                while g * 2 <= n:
+                    g *= 2
+                batch = [self._pending.pop(0) for _ in range(g)]
+            slots = [self._free.pop(0) for _ in range(g)]
+            for r, s in zip(batch, slots):
+                self._slot_req[s] = r
+            inj = jnp.asarray(
+                np.stack([r.injection for r in batch]), self.cfg.compute_dtype
+            )
+            row_max = jnp.asarray([r.max_len for r in batch], jnp.int32)
+            self.state = self._admit_jit(g)(
+                self.state, jnp.asarray(slots, jnp.int32), inj, row_max
+            )
 
     def _harvest(self):
         # ONE fixed-shape transfer for everything ((S, W) int32 tokens
