@@ -1,4 +1,4 @@
-"""SELFIES tokenization support (optional `selfies` dependency).
+"""SELFIES tokenization support.
 
 Parity target: coati/models/encoding/clip_e2e_selfies.py:13-31
 (selfies_pre_tokenize / to_selfies_tokenizer) — the tokenizer's
@@ -6,6 +6,11 @@ pre_tokenize is rebound so non-special text routes through
 selfies.encoder before vocab matching; plus the selfies training xform
 variant (clip_ar_xform_selfies :34-315) which consumes pre-computed
 'selfies'/'rand_selfies' dataset columns.
+
+The `selfies` package is preferred whenever importable; otherwise the
+in-tree SELFIES v2 implementation (chem/selfies_lite.py) provides the
+same encoder/decoder so the route still executes offline. SELFIES_IMPL
+records which one is live.
 """
 
 from __future__ import annotations
@@ -17,19 +22,21 @@ import numpy as np
 try:
     import selfies as sf
 
-    HAS_SELFIES = True
+    HAS_REAL_SELFIES = True
 except ImportError:
-    HAS_SELFIES = False
+    from coati_tpu.chem import selfies_lite as sf
 
-from coati_tpu.tokenizers.trie_tokenizer import TrieTokenizer
+    HAS_REAL_SELFIES = False
+
+HAS_SELFIES = True  # an implementation is always available
+SELFIES_IMPL = "selfies" if HAS_REAL_SELFIES else "lite"
+
+from coati_tpu.tokenizers.trie_tokenizer import TrieTokenizer  # noqa: E402
 
 
 def require_selfies() -> None:
-    if not HAS_SELFIES:
-        raise ImportError(
-            "the `selfies` package is required for SELFIES tokenization "
-            "but is not installed."
-        )
+    """Retained for API compatibility: a SELFIES implementation is
+    always available (the in-tree codec backs the absent package)."""
 
 
 def selfies_pre_tokenize(tokenizer: TrieTokenizer, text: str):
