@@ -80,11 +80,30 @@ def clip_ar_xform_selfies(
 ):
     """SELFIES training xform: identical augmentation logic to
     clip_ar_xform but sourcing pre-computed 'selfies' / 'rand_selfies'
-    cache columns (clip_e2e_selfies.py:34-315). The tokenizer must be a
-    selfies tokenizer (to_selfies_tokenizer)."""
+    cache columns (clip_e2e_selfies.py:34-315). Pass a PLAIN tokenizer
+    on a selfies vocabulary (the reference trains with one — selfies
+    tokens match the vocab trie directly; the to_selfies_tokenizer
+    rebinding is for raw-SMILES inference text and would re-encode the
+    already-encoded columns).
+
+    Beyond parity: when the dataset has no 'selfies' column (the
+    reference assumes cache preprocessing wrote one), it is computed on
+    the fly from 'smiles' with the live SELFIES implementation — rows
+    whose SMILES fail to encode pass through verbatim and are dropped
+    by the tokenizer's row-level fault tolerance, matching
+    clip_ar_xform's bad-row semantics."""
     from coati_tpu.data.xform import clip_ar_xform
 
     sel_batch = dict(batch)
+    if "selfies" not in batch:
+        encoded = []
+        for s in batch["smiles"]:
+            try:
+                encoded.append(sf.encoder(str(s)))
+            except Exception:  # noqa: BLE001 - row-level fault tolerance
+                encoded.append(str(s))
+        sel_batch["selfies"] = encoded
+        batch = sel_batch
     # route the precomputed selfies strings through the standard pipeline
     sel_batch["smiles"] = [str(s) for s in batch["selfies"]]
     if "rand_selfies" in batch:

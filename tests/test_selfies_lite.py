@@ -211,3 +211,38 @@ def test_parity_with_real_selfies_package():
         n = int(rng.integers(1, 30))
         sel = "".join(rng.choice(alphabet) for _ in range(n))
         assert graph_sig(sl.decoder(sel)) == graph_sig(selfies.decoder(sel))
+
+
+def test_selfies_xform_on_the_fly_columns():
+    """clip_ar_xform_selfies without precomputed 'selfies' columns:
+    the codec encodes the SMILES on the fly (beyond parity — the
+    reference requires cache preprocessing), bad rows zero out through
+    the xform's row-level fault tolerance, and the produced token rows
+    decode back to the encoded SELFIES stream."""
+    from coati_tpu.tokenizers import get_vocab
+    from coati_tpu.tokenizers.trie_tokenizer import TrieTokenizer
+    from coati_tpu.tokenizers.selfies_support import clip_ar_xform_selfies
+
+    # PLAIN tokenizer on the selfies vocab, as the reference trains with
+    # (the to_selfies_tokenizer rebinding is for raw-SMILES inference)
+    tok = TrieTokenizer(n_seq=96, side_tasks=False,
+                        **get_vocab("selfies_mcp_clone"))
+    smiles = ["CCO", "c1ccccc1", "CC(=O)O", "NOT_A_MOLECULE(("]
+    batch = {
+        "smiles": smiles,
+        "atoms": np.zeros((4, 3)),
+        "coords": np.zeros((4, 3, 3)),
+    }
+    import random as _random
+
+    _random.seed(0)
+    out = clip_ar_xform_selfies(
+        batch, tok, p_dataset=0.0, p_formula=0.0, p_clip=0.0
+    )
+    toks = np.asarray(out["tokens"])
+    assert toks.shape[0] == 4
+    assert (toks[3] == 0).all()  # unparseable row zeroed, not fatal
+    for row, s in zip(toks, smiles[:3]):
+        text = tok.decode([t for t in row.tolist() if t != 0], special=True)
+        inner = text.replace("[SMILES]", "").replace("[STOP]", "")
+        assert inner == sl.encoder(s)
