@@ -246,3 +246,25 @@ def test_selfies_xform_on_the_fly_columns():
         text = tok.decode([t for t in row.tolist() if t != 0], special=True)
         inner = text.replace("[SMILES]", "").replace("[STOP]", "")
         assert inner == sl.encoder(s)
+
+
+def test_merged_vocab_tokens_match_encoder_conventions():
+    """The published selfies vocab's multi-symbol tokens are BPE merges
+    of REAL reference-encoder output. If this codec disagreed with the
+    reference on branch-index / ring-offset / kekulization conventions,
+    the vocab trie would fragment our streams into single symbols in
+    those contexts. Measured: ~70% of symbols over encoded ChEMBL land
+    inside multi-symbol merged tokens; gate well below at 50%."""
+    from coati_tpu.tokenizers import get_vocab
+    from coati_tpu.tokenizers.trie_tokenizer import TrieTokenizer
+
+    tok = TrieTokenizer(n_seq=512, side_tasks=False,
+                        **get_vocab("selfies_mcp_clone"))
+    in_multi = total = 0
+    for s in chembl_smiles():
+        for p in tok.smiles_matcher.split(sl.encoder(s)):
+            n = len(re.findall(r"\[[^\]]*\]", p))
+            total += n
+            if n > 1:
+                in_multi += n
+    assert in_multi / total > 0.5, in_multi / total
