@@ -133,10 +133,20 @@ def canonicalize_or_self(s: str) -> str:
 
 
 def is_valid_smiles(s: str) -> bool:
-    """RDKit validity when available, else a lightweight syntax check."""
+    """RDKit validity when available; else GRAPH-level validation via
+    the in-tree parser (parse + kekulize + per-atom valence check,
+    chem/selfies_lite.py) with the old syntax check as a last resort
+    for grammar the parser doesn't cover (wildcards, extended
+    chirality)."""
     if HAS_RDKIT:
         return Chem.MolFromSmiles(s) is not None
-    return _plausible_smiles(s)
+    if "*" in s or "@T" in s or "@A" in s or "@S" in s:
+        # grammar the in-tree parser rejects but RDKit accepts
+        # (wildcards, extended chirality): syntax check only
+        return _plausible_smiles(s)
+    from coati_tpu.chem import selfies_lite as _sl
+
+    return _sl.validate_smiles(s)
 
 
 _ATOM_RE = re.compile(
@@ -188,9 +198,20 @@ def _plausible_smiles(s: str) -> bool:
 
 
 def permute_smiles(smiles: str) -> str:
-    """Random atom-order SMILES (augmentation). Identity without RDKit."""
+    """Random atom-order SMILES (augmentation, reference
+    rdkit_utils.py). Without RDKit the in-tree parser provides the
+    permutation (aromatic-form-preserving random DFS; stereo molecules
+    pass through unchanged since @/cis-trans markers are
+    traversal-order-dependent). Previously this fallback was the
+    identity, so p_randsmiles augmentation silently did nothing
+    offline."""
     if not HAS_RDKIT:
-        return smiles
+        from coati_tpu.chem import selfies_lite as _sl
+
+        try:
+            return _sl.permute_smiles(smiles)
+        except _sl.EncoderError:
+            return smiles
     mol = Chem.MolFromSmiles(smiles)
     order = list(range(mol.GetNumAtoms()))
     random.shuffle(order)

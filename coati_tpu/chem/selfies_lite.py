@@ -852,3 +852,189 @@ def decoder(selfies: str) -> str:
         if smi:
             parts.append(smi)
     return ".".join(parts)
+
+
+# -- graph utilities beyond the codec ----------------------------------------
+# (the parser/kekulizer double as the offline substitute for the rdkit
+# helpers chem/rdkit_support.py gates: validity checking and random
+# atom-order SMILES augmentation, reference rdkit_utils.py semantics)
+
+_MAX_VALENCE: Dict[Tuple[str, int], int] = {
+    ("C", 0): 4, ("C", 1): 3, ("C", -1): 3,
+    ("N", 0): 3, ("N", 1): 4, ("N", -1): 2,
+    ("O", 0): 2, ("O", 1): 3, ("O", -1): 1,
+    ("S", 0): 6, ("S", 1): 5, ("S", -1): 1,
+    ("P", 0): 5, ("P", 1): 4, ("P", -1): 6,
+    ("B", 0): 3, ("B", -1): 4,
+    ("F", 0): 1, ("Cl", 0): 1, ("Br", 0): 1, ("I", 0): 1,
+    ("H", 0): 1,
+}
+
+
+def validate_smiles(s: str) -> bool:
+    """Graph-level SMILES validity: parses, kekulizes, and every typed
+    atom fits its maximum valence (bond orders + explicit H). Far
+    stronger than a syntax check; still weaker than RDKit sanitization
+    (no aromaticity re-perception, exotic elements pass)."""
+    try:
+        mol = parse_smiles(s)
+        kekulize(mol)
+    except EncoderError:
+        return False
+    bond_sum = [0] * len(mol.atoms)
+    for b in mol.bonds:
+        bond_sum[b.a] += b.order
+        bond_sum[b.b] += b.order
+    for a in mol.atoms:
+        total = bond_sum[a.idx] + (a.hcount or 0)
+        cap = _MAX_VALENCE.get((a.element, a.charge))
+        if cap is None:
+            continue  # exotic element/charge: permissive
+        if total > cap:
+            return False
+    return True
+
+
+def write_smiles(mol: Mol, rng=None) -> str:
+    """Write a SMILES for a parsed molecule, preserving aromatic
+    (lowercase) form. With `rng`, the traversal root and neighbor order
+    are randomized — a random-order SMILES of the same molecule
+    (reference rdkit_utils permute_smiles semantics)."""
+    n = len(mol.atoms)
+    adj = mol.neighbors()
+    frags: Dict[int, List[int]] = {}
+    for a in mol.atoms:
+        frags.setdefault(a.frag, []).append(a.idx)
+
+    def atom_str(a: Atom) -> str:
+        sym = a.element.lower() if a.aromatic else a.element
+        bare = (
+            a.element in _ORGANIC
+            and a.charge == 0
+            and a.isotope == 0
+            and not a.chirality
+            and a.hcount is None
+        )
+        if bare:
+            return sym
+        body = f"{a.isotope or ''}{sym}{a.chirality}"
+        h = a.hcount or 0
+        if h:
+            body += "H" if h == 1 else f"H{h}"
+        if a.charge:
+            if abs(a.charge) == 1:
+                body += "+" if a.charge > 0 else "-"
+            else:
+                body += f"{'+' if a.charge > 0 else '-'}{abs(a.charge)}"
+        return f"[{body}]"
+
+    def bond_char(bd: Bond, frm: int) -> str:
+        if bd.stereo:
+            return bd.stereo if bd.stereo_at == frm else (
+                "/" if bd.stereo == "\\" else "\\"
+            )
+        if bd.aromatic:
+            return ""
+        if bd.order == 1:
+            # a SINGLE bond between two aromatic atoms (biphenyl) must be
+            # explicit or it would read back as aromatic
+            if mol.atoms[bd.a].aromatic and mol.atoms[bd.b].aromatic:
+                return "-"
+            return ""
+        return _ORDER_CHAR[bd.order]
+
+    parts: List[str] = []
+    for frag_atoms in frags.values():
+        root = rng.choice(frag_atoms) if rng is not None else frag_atoms[0]
+        seen = {root}
+        tree: Dict[int, List[int]] = {a: [] for a in frag_atoms}
+        closures: Dict[int, List[int]] = {a: [] for a in frag_atoms}
+        used_edge = set()
+        stack = [(root, list(adj[root]))]
+        if rng is not None:
+            rng.shuffle(stack[0][1])
+        while stack:
+            u, nbrs = stack[-1]
+            advanced = False
+            while nbrs:
+                v, bi = nbrs.pop()
+                if bi in used_edge:
+                    continue
+                used_edge.add(bi)
+                if v in seen:
+                    closures[u].append(bi)
+                    closures[v].append(bi)
+                    continue
+                seen.add(v)
+                tree[u].append(bi)
+                nxt = list(adj[v])
+                if rng is not None:
+                    rng.shuffle(nxt)
+                stack.append((v, nxt))
+                advanced = True
+                break
+            if not advanced:
+                stack.pop()
+
+        opened: Dict[int, int] = {}
+        free_digits: List[int] = []
+        next_digit = [1]
+        out: List[str] = []
+
+        def closure_str(u: int) -> str:
+            s = ""
+            for cbi in closures[u]:
+                if cbi in opened:
+                    digit = opened.pop(cbi)
+                    free_digits.append(digit)
+                    bd = mol.bonds[cbi]
+                    ch = bond_char(bd, u)
+                    s += ch + (str(digit) if digit < 10 else f"%{digit:02d}")
+                else:
+                    if free_digits:
+                        digit = free_digits.pop()
+                    else:
+                        digit = next_digit[0]
+                        next_digit[0] += 1
+                    opened[cbi] = digit
+                    s += str(digit) if digit < 10 else f"%{digit:02d}"
+            return s
+
+        def other(bi: int, u: int) -> int:
+            bd = mol.bonds[bi]
+            return bd.b if bd.a == u else bd.a
+
+        def walk(u: int) -> None:
+            while True:
+                out.append(atom_str(mol.atoms[u]))
+                out.append(closure_str(u))
+                kids = tree[u]
+                if not kids:
+                    return
+                for cbi in kids[:-1]:
+                    out.append("(" + bond_char(mol.bonds[cbi], u))
+                    walk(other(cbi, u))
+                    out.append(")")
+                cbi = kids[-1]
+                out.append(bond_char(mol.bonds[cbi], u))
+                u = other(cbi, u)
+
+        walk(root)
+        parts.append("".join(out))
+    return ".".join(parts)
+
+
+def permute_smiles(smiles: str, rng=None) -> str:
+    """Random atom-order SMILES of the same molecule (augmentation,
+    reference rdkit_utils.py permute_smiles). Tetrahedral and cis/trans
+    markers are traversal-order-dependent, so stereo molecules return
+    unchanged rather than silently scrambling their stereochemistry."""
+    import random as _random
+
+    rng = rng or _random
+    mol = parse_smiles(smiles)
+    if any(a.chirality for a in mol.atoms) or any(
+        b.stereo for b in mol.bonds
+    ):
+        return smiles
+    return write_smiles(mol, rng=rng)

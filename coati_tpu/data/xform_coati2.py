@@ -221,7 +221,7 @@ def coati2_ar_xform(
             if "rand_smiles" in batch and batch["rand_smiles"][k]:
                 permuted = str(batch["rand_smiles"][k])
             else:
-                permuted = permute_smiles(canonical) if HAS_RDKIT else canonical
+                permuted = permute_smiles(canonical)
             rand = _tok("[SMILES]" + (permuted or canonical) + "[STOP]")
 
             if max(len(ttext), len(raw), len(rand)) <= n_seq:

@@ -105,10 +105,17 @@ def _ref_clip_ar_xform():
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2])
-def test_clip_ar_xform_parity(seed):
+def test_clip_ar_xform_parity(seed, monkeypatch):
     """Seeded-RNG parity with the reference augmentation pipeline: both
     consume the global `random` stream in the same order, so outputs must
-    be token-identical."""
+    be token-identical. permute_smiles is stubbed to the identity on
+    BOTH sides (the oracle shim already stubs the reference's; ours now
+    really permutes via the in-tree parser, which would desync the
+    shared RNG stream) — the permutation itself is pinned by
+    tests/test_selfies_lite.py."""
+    import coati_tpu.data.xform as xform_mod
+
+    monkeypatch.setattr(xform_mod, "permute_smiles", lambda s: s)
     ref_xform = _ref_clip_ar_xform()
     rtok = ref_tokenizer("mar", n_seq=64)
     mtok = TrieTokenizer(n_seq=64, **get_vocab("mar"))

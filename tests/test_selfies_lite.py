@@ -268,3 +268,69 @@ def test_merged_vocab_tokens_match_encoder_conventions():
             if n > 1:
                 in_multi += n
     assert in_multi / total > 0.5, in_multi / total
+
+
+def wl_sig(smiles, rounds=4):
+    """Order-independent graph invariant (Weisfeiler-Leman hashing) for
+    comparing permuted SMILES. Aromatic bonds keep an 'ar' label — a
+    permuted string may kekulize to a DIFFERENT (equally valid) kekulé
+    structure, so matched orders are not invariant; per-atom bond sums
+    and H counts are."""
+    m = sl.parse_smiles(smiles)
+    was_aromatic = [b.aromatic for b in m.bonds]
+    sl.kekulize(m)
+    bond_label = [
+        "ar" if was_aromatic[bi] else b.order
+        for bi, b in enumerate(m.bonds)
+    ]
+    bond_order = [0] * len(m.atoms)
+    for b in m.bonds:
+        bond_order[b.a] += b.order
+        bond_order[b.b] += b.order
+    labels = []
+    for a in m.atoms:
+        if a.hcount is not None:
+            h = a.hcount
+        else:
+            ladder = sl._SMILES_VALENCE.get(a.element, (0,))
+            v = next((x for x in ladder if x >= bond_order[a.idx]),
+                     bond_order[a.idx])
+            h = v - bond_order[a.idx]
+        labels.append((a.element, a.charge, a.isotope, h))
+    adj = m.neighbors()
+    for _ in range(rounds):
+        labels = [
+            (labels[i], tuple(sorted(
+                (str(bond_label[bi]), labels[j]) for j, bi in adj[i]
+            )))
+            for i in range(len(labels))
+        ]
+        labels = [hash(x) for x in labels]
+    return sorted(labels)
+
+
+def test_permute_smiles_same_molecule():
+    """Random atom-order SMILES (the p_randsmiles augmentation, which
+    was a silent identity without rdkit): permutations parse, preserve
+    the molecule (WL invariant), and actually vary."""
+    import random as _random
+
+    rng = _random.Random(0)
+    changed = 0
+    for s in chembl_smiles()[:120]:
+        want = wl_sig(s)
+        outs = {sl.permute_smiles(s, rng) for _ in range(3)}
+        for p in outs:
+            assert wl_sig(p) == want, (s, p)
+        changed += len(outs) > 1 or s not in outs
+    assert changed > 100  # permutation is real, not identity
+
+
+def test_validate_smiles_fallback():
+    from coati_tpu.chem.rdkit_support import is_valid_smiles
+
+    for s in chembl_smiles():
+        assert is_valid_smiles(s), s
+    for bad in ["N(C)(C)(C)C", "F=C", "C1CC", "c1ccc(cc1", "O=O=O",
+                "[CH5]", "Cl(C)C"]:
+        assert not is_valid_smiles(bad), bad
