@@ -108,9 +108,19 @@ def works_on_smiles(raise_on_failure: bool):
 
 def canon_smiles(s: str) -> str:
     """Kekulized canonical SMILES, 'BAD_SMILES' on failure (reference
-    semantics). Falls back to the input string when RDKit is absent."""
+    semantics). Without RDKit the in-tree canonicalizer
+    (chem/graph_canon.py: WL refinement + min-string tie-break) provides
+    a real canonical form — invariant under atom-order permutation,
+    though written aromatic-form rather than kekulized; grammar outside
+    the in-tree parser (wildcards, extended chirality) passes through
+    on a syntax check instead."""
     if not HAS_RDKIT:
-        return s
+        from coati_tpu.chem import graph_canon
+
+        try:
+            return graph_canon.canonical_smiles(s)
+        except Exception:  # noqa: BLE001
+            return s if _plausible_smiles(s) else "BAD_SMILES"
     try:
         m = Chem.MolFromSmiles(s)
         if m is None:
@@ -122,10 +132,18 @@ def canon_smiles(s: str) -> str:
 
 
 def canonicalize_or_self(s: str) -> str:
-    """Chem.CanonSmiles when available, else the input unchanged (used by
-    host pipelines so they degrade gracefully without RDKit)."""
+    """Chem.CanonSmiles when available, else the in-tree canonical form
+    (graph_canon.canonical_smiles), else the input unchanged. Host
+    pipelines and uniqueness statistics use this: previously the
+    no-RDKit path was the identity, so offline dedup counted different
+    writings of one molecule as distinct."""
     if not HAS_RDKIT:
-        return s
+        from coati_tpu.chem import graph_canon
+
+        try:
+            return graph_canon.canonical_smiles(s)
+        except Exception:  # noqa: BLE001
+            return s
     try:
         return Chem.CanonSmiles(s)
     except Exception:  # noqa: BLE001
@@ -219,7 +237,15 @@ def permute_smiles(smiles: str) -> str:
 
 
 def identical_canonsmi(smi1: str, smi2: str, use_chiral: int = 1) -> bool:
-    require_rdkit("identical_canonsmi")
+    """Same molecule under canonicalization (reference
+    rdkit_utils.py:104). Offline: in-tree canonical forms compare,
+    with useChiral=0 stripping tetrahedral/cis-trans markers first."""
+    if not HAS_RDKIT:
+        from coati_tpu.chem import graph_canon
+
+        return graph_canon.canonical_smiles(
+            smi1, use_chiral=bool(use_chiral)
+        ) == graph_canon.canonical_smiles(smi2, use_chiral=bool(use_chiral))
     return Chem.CanonSmiles(smi1, useChiral=use_chiral) == Chem.CanonSmiles(
         smi2, useChiral=use_chiral
     )
@@ -228,9 +254,22 @@ def identical_canonsmi(smi1: str, smi2: str, use_chiral: int = 1) -> bool:
 # --------------------------------------------------------- fingerprints
 
 
-@works_on_smiles(raise_on_failure=True)
 def sim_mol(mol1, mol2) -> float:
-    """ECFP4/2048 Tanimoto similarity."""
+    """ECFP4/2048 Tanimoto similarity (reference rdkit_utils.py:94).
+    Offline the in-tree circular fingerprint computes it for SMILES
+    inputs (chem/fingerprints.py; bit layout differs from RDKit but
+    the similarity structure is what callers consume)."""
+    if not HAS_RDKIT:
+        if isinstance(mol1, str) and isinstance(mol2, str):
+            from coati_tpu.chem.fingerprints import smiles_similarity
+
+            return smiles_similarity(mol1, mol2)
+        require_rdkit("sim_mol on Mol objects")
+    return _sim_mol_rdkit(mol1, mol2)
+
+
+@works_on_smiles(raise_on_failure=True)
+def _sim_mol_rdkit(mol1, mol2) -> float:
     if isinstance(mol2, str):
         mol2 = Chem.MolFromSmiles(mol2)
     fp1 = rdMolDescriptors.GetMorganFingerprintAsBitVect(mol1, 2, 2048)
@@ -238,8 +277,29 @@ def sim_mol(mol1, mol2) -> float:
     return DataStructs.TanimotoSimilarity(fp1, fp2)
 
 
-@works_on_smiles(raise_on_failure=True)
 def mol_to_morgan(
+    mol, radius: int = 3, n_bits: int = 2048, chiral: bool = False, features: bool = False
+) -> np.ndarray:
+    """Morgan fingerprint bit vector (reference rdkit_utils.py:140).
+    Offline: the in-tree ECFP for SMILES inputs (features=FCFP still
+    needs RDKit's feature typer and raises without it)."""
+    if not HAS_RDKIT:
+        if features:
+            require_rdkit("feature-typed (FCFP) fingerprints")
+        if isinstance(mol, str):
+            from coati_tpu.chem.fingerprints import morgan_fingerprint
+
+            return morgan_fingerprint(
+                mol, radius=radius, n_bits=n_bits, chiral=chiral
+            )
+        require_rdkit("mol_to_morgan on Mol objects")
+    return _mol_to_morgan_rdkit(
+        mol, radius=radius, n_bits=n_bits, chiral=chiral, features=features
+    )
+
+
+@works_on_smiles(raise_on_failure=True)
+def _mol_to_morgan_rdkit(
     mol, radius: int = 3, n_bits: int = 2048, chiral: bool = False, features: bool = False
 ) -> np.ndarray:
     bits = GetMorganFingerprintAsBitVect(
@@ -320,8 +380,25 @@ def mol_standardize(mol):
     return None
 
 
-@works_on_smiles(raise_on_failure=False)
 def mol_properties(mol) -> Dict[str, Any]:
+    """Descriptor dict (reference rdkit_utils.py:249-265). Offline the
+    in-tree engine (chem/descriptors.py) computes every key except
+    MolLogP (Crippen's SMARTS contribution tables are rdkit-only);
+    callers treat keys as optional."""
+    if not HAS_RDKIT:
+        if not isinstance(mol, str):
+            require_rdkit("mol_properties on Mol objects")
+        from coati_tpu.chem.descriptors import molecular_descriptors
+
+        try:
+            return dict(molecular_descriptors(mol))
+        except Exception:  # noqa: BLE001
+            return None
+    return _mol_properties_rdkit(mol)
+
+
+@works_on_smiles(raise_on_failure=False)
+def _mol_properties_rdkit(mol) -> Dict[str, Any]:
     return {
         "MolWt": Descriptors.MolWt(mol),
         "TPSA": Descriptors.TPSA(mol),

@@ -136,6 +136,10 @@ class Mol:
     atoms: List[Atom] = field(default_factory=list)
     bonds: List[Bond] = field(default_factory=list)
     roots: List[_Node] = field(default_factory=list)
+    # Per-atom bond indices in the order they appear in the source text
+    # (parent bond first, then ring digits, then branches/chain) — the
+    # neighbor ordering SMILES tetrahedral chirality is defined against.
+    written: List[List[int]] = field(default_factory=list)
 
     def neighbors(self) -> List[List[Tuple[int, int]]]:
         adj: List[List[Tuple[int, int]]] = [[] for _ in self.atoms]
@@ -165,7 +169,7 @@ def parse_smiles(smiles: str) -> Mol:
     node_of: Dict[int, _Node] = {}
     prev: Optional[int] = None
     pending: Optional[Dict] = None  # bond token awaiting an atom/ring
-    ring_open: Dict[int, Tuple[int, Optional[Dict]]] = {}
+    ring_open: Dict[int, Tuple[int, Optional[Dict], list]] = {}
     stack: List[Optional[int]] = []
     frag = 0
     i, n = 0, len(smiles)
@@ -175,6 +179,7 @@ def parse_smiles(smiles: str) -> Mol:
         atom.idx = len(mol.atoms)
         atom.frag = frag
         mol.atoms.append(atom)
+        mol.written.append([])
         node = _Node(atom.idx)
         node_of[atom.idx] = node
         if prev is None:
@@ -183,6 +188,8 @@ def parse_smiles(smiles: str) -> Mol:
             bd = _make_bond(prev, atom.idx, pending)
             mol.bonds.append(bd)
             node_of[prev].children.append((len(mol.bonds) - 1, node))
+            mol.written[prev].append(len(mol.bonds) - 1)
+            mol.written[atom.idx].append(len(mol.bonds) - 1)
         pending = None
         prev = atom.idx
         return atom.idx
@@ -281,7 +288,7 @@ def parse_smiles(smiles: str) -> Mol:
             if prev is None:
                 raise EncoderError("ring number with no prior atom")
             if num in ring_open:
-                a, tok_a = ring_open.pop(num)
+                a, tok_a, slot = ring_open.pop(num)
                 tok = pending
                 if tok_a is not None and tok is not None:
                     same = (
@@ -309,9 +316,13 @@ def parse_smiles(smiles: str) -> Mol:
                     raise EncoderError("self-ring bond")
                 mol.bonds.append(bd)
                 node_of[prev].rings.append(len(mol.bonds) - 1)
+                slot[0] = len(mol.bonds) - 1  # opener's digit position
+                mol.written[prev].append(len(mol.bonds) - 1)
                 pending = None
             else:
-                ring_open[num] = (prev, pending)
+                slot = [None]
+                mol.written[prev].append(slot)  # type: ignore[arg-type]
+                ring_open[num] = (prev, pending, slot)
                 pending = None
         elif c == ".":
             if pending is not None or stack:
@@ -331,6 +342,9 @@ def parse_smiles(smiles: str) -> Mol:
         raise EncoderError("dangling bond token")
     if not mol.atoms:
         raise EncoderError("empty SMILES")
+    mol.written = [
+        [e if isinstance(e, int) else e[0] for e in lst] for lst in mol.written
+    ]
     return mol
 
 
@@ -895,29 +909,62 @@ def validate_smiles(s: str) -> bool:
     return True
 
 
-def write_smiles(mol: Mol, rng=None) -> str:
+def _perm_parity(src: list, dst: list) -> int:
+    """Parity (0 even / 1 odd) of the permutation taking src to dst.
+    Both must hold the same distinct items."""
+    pos = {v: i for i, v in enumerate(src)}
+    perm = [pos[v] for v in dst]
+    seen = [False] * len(perm)
+    parity = 0
+    for i in range(len(perm)):
+        if seen[i]:
+            continue
+        j, clen = i, 0
+        while not seen[j]:
+            seen[j] = True
+            j = perm[j]
+            clen += 1
+        parity ^= (clen - 1) & 1
+    return parity
+
+
+def write_smiles(mol: Mol, rng=None, order: Optional[List[int]] = None) -> str:
     """Write a SMILES for a parsed molecule, preserving aromatic
     (lowercase) form. With `rng`, the traversal root and neighbor order
     are randomized — a random-order SMILES of the same molecule
-    (reference rdkit_utils permute_smiles semantics)."""
+    (reference rdkit_utils permute_smiles semantics). With `order` (a
+    total per-atom rank), the traversal is deterministic: lowest-rank
+    atom roots each fragment, neighbors visited in ascending rank, and
+    fragments emitted in ascending min-rank — the writer under
+    canonical ranks (graph_canon.canonical_smiles).
+
+    Tetrahedral markers are re-oriented for the new neighbor order:
+    SMILES @/@@ is defined against the WRITTEN order of neighbors
+    (preceding atom, then implicit H, then ring digits and branches in
+    text order — OpenSMILES §3.9.2), which `mol.written` records at
+    parse time; the emitted marker is flipped whenever the permutation
+    from written order to emitted order is odd. Directional cis/trans
+    bonds need only the existing per-direction flip in bond_char."""
     n = len(mol.atoms)
     adj = mol.neighbors()
     frags: Dict[int, List[int]] = {}
     for a in mol.atoms:
         frags.setdefault(a.frag, []).append(a.idx)
+    input_roots = {node.atom for node in mol.roots}
 
-    def atom_str(a: Atom) -> str:
+    def atom_str(a: Atom, chi: Optional[str] = None) -> str:
+        chirality = a.chirality if chi is None else chi
         sym = a.element.lower() if a.aromatic else a.element
         bare = (
             a.element in _ORGANIC
             and a.charge == 0
             and a.isotope == 0
-            and not a.chirality
+            and not chirality
             and a.hcount is None
         )
         if bare:
             return sym
-        body = f"{a.isotope or ''}{sym}{a.chirality}"
+        body = f"{a.isotope or ''}{sym}{chirality}"
         h = a.hcount or 0
         if h:
             body += "H" if h == 1 else f"H{h}"
@@ -943,16 +990,33 @@ def write_smiles(mol: Mol, rng=None) -> str:
             return ""
         return _ORDER_CHAR[bd.order]
 
+    def prep_nbrs(nbrs: List[Tuple[int, int]]) -> List[Tuple[int, int]]:
+        if rng is not None:
+            rng.shuffle(nbrs)
+        elif order is not None:
+            # the DFS pops from the END, so descending rank here means
+            # ascending-rank visitation
+            nbrs.sort(key=lambda vb: order[vb[0]], reverse=True)
+        return nbrs
+
+    frag_lists = list(frags.values())
+    if order is not None:
+        frag_lists.sort(key=lambda atoms: min(order[a] for a in atoms))
+
     parts: List[str] = []
-    for frag_atoms in frags.values():
-        root = rng.choice(frag_atoms) if rng is not None else frag_atoms[0]
+    for frag_atoms in frag_lists:
+        if rng is not None:
+            root = rng.choice(frag_atoms)
+        elif order is not None:
+            root = min(frag_atoms, key=lambda a: order[a])
+        else:
+            root = frag_atoms[0]
         seen = {root}
         tree: Dict[int, List[int]] = {a: [] for a in frag_atoms}
         closures: Dict[int, List[int]] = {a: [] for a in frag_atoms}
+        parent_bond: Dict[int, int] = {}
         used_edge = set()
-        stack = [(root, list(adj[root]))]
-        if rng is not None:
-            rng.shuffle(stack[0][1])
+        stack = [(root, prep_nbrs(list(adj[root])))]
         while stack:
             u, nbrs = stack[-1]
             advanced = False
@@ -967,14 +1031,33 @@ def write_smiles(mol: Mol, rng=None) -> str:
                     continue
                 seen.add(v)
                 tree[u].append(bi)
-                nxt = list(adj[v])
-                if rng is not None:
-                    rng.shuffle(nxt)
-                stack.append((v, nxt))
+                parent_bond[v] = bi
+                stack.append((v, prep_nbrs(list(adj[v]))))
                 advanced = True
                 break
             if not advanced:
                 stack.pop()
+
+        # tetrahedral re-orientation for the new written order
+        chi_over: Dict[int, str] = {}
+        if len(mol.written) == n:
+            for u in frag_atoms:
+                a = mol.atoms[u]
+                if a.chirality not in ("@", "@@"):
+                    continue
+                in_seq: list = list(mol.written[u])
+                out_seq: list = (
+                    ([parent_bond[u]] if u in parent_bond else [])
+                    + list(closures[u])
+                    + list(tree[u])
+                )
+                if a.hcount == 1:
+                    in_seq.insert(0 if u in input_roots else 1, "H")
+                    out_seq.insert(1 if u in parent_bond else 0, "H")
+                if len(in_seq) < 3 or set(in_seq) != set(out_seq):
+                    continue  # defensive: leave the marker unchanged
+                if _perm_parity(in_seq, out_seq):
+                    chi_over[u] = "@@" if a.chirality == "@" else "@"
 
         opened: Dict[int, int] = {}
         free_digits: List[int] = []
@@ -1006,7 +1089,7 @@ def write_smiles(mol: Mol, rng=None) -> str:
 
         def walk(u: int) -> None:
             while True:
-                out.append(atom_str(mol.atoms[u]))
+                out.append(atom_str(mol.atoms[u], chi_over.get(u)))
                 out.append(closure_str(u))
                 kids = tree[u]
                 if not kids:
@@ -1026,15 +1109,12 @@ def write_smiles(mol: Mol, rng=None) -> str:
 
 def permute_smiles(smiles: str, rng=None) -> str:
     """Random atom-order SMILES of the same molecule (augmentation,
-    reference rdkit_utils.py permute_smiles). Tetrahedral and cis/trans
-    markers are traversal-order-dependent, so stereo molecules return
-    unchanged rather than silently scrambling their stereochemistry."""
+    reference rdkit_utils.py permute_smiles). Tetrahedral markers are
+    re-oriented for the new traversal (write_smiles parity fixup) and
+    cis/trans markers flip with bond direction, so stereo molecules
+    permute too — previously they passed through unchanged."""
     import random as _random
 
     rng = rng or _random
     mol = parse_smiles(smiles)
-    if any(a.chirality for a in mol.atoms) or any(
-        b.stereo for b in mol.bonds
-    ):
-        return smiles
     return write_smiles(mol, rng=rng)

@@ -66,10 +66,19 @@ PROPERTY_BUCKETS = {
 
 
 def coati2_properties(smiles: str) -> Optional[Dict[str, float]]:
-    """Descriptors needed by PROPERTY_BUCKETS (rdkit-gated; returns None
-    when rdkit is unavailable or the molecule does not parse)."""
+    """Descriptors needed by PROPERTY_BUCKETS. With rdkit: the full set.
+    Without rdkit the in-tree descriptor engine (chem/descriptors.py)
+    supplies every key except MolLogP and QED (Crippen/QED tables are
+    rdkit-only), so those two conditioning tokens are simply absent from
+    offline-built training rows. Returns None when the molecule does not
+    parse."""
     if not HAS_RDKIT:
-        return None
+        from coati_tpu.chem.descriptors import molecular_descriptors
+
+        try:
+            return dict(molecular_descriptors(smiles))
+        except Exception:  # noqa: BLE001
+            return None
     from rdkit import Chem
     from rdkit.Chem import Crippen, Descriptors, Lipinski, QED
 

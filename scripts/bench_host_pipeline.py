@@ -14,10 +14,12 @@ not the per-step path). Measured at the grande recipe shapes
 (n_seq 80, per-device batch 160, p_clip 0.9 / p_dataset 0.2 /
 p_formula 0.2 — training/config.py grande_config).
 
-Caveat recorded with every run: this image has no rdkit, so
-canonicalize_or_self is an identity fallback — the numbers bound the
-augmentation+tokenization side only. With rdkit present the same script
-measures the full reference cost (canonicalize=True exercises it).
+Canonicalization note: without rdkit, canonicalize_or_self now runs the
+in-tree graph canonicalizer (chem/graph_canon.py, ~3.6 ms/molecule cold
+but LRU-cached — repeated epochs over a corpus pay it once), so the
+numbers include real canonicalization after the first pass over the
+corpus. With rdkit present the same script measures the full reference
+cost (canonicalize=True exercises it).
 
 Usage: python scripts/bench_host_pipeline.py [--batch 160] [--n-batches 30]
 Prints per-config samples/s and the core count needed to feed one chip.

@@ -99,15 +99,19 @@ def load_ref_clip_e2e():
 
 
 def ensure_rdkit_module_stub():
-    """Register a minimal top-level `rdkit` stub (Chem.CanonSmiles
-    identity + silent RDLogger) for reference modules that import rdkit
-    at module scope (e.g. simple_coati2/transformer_only)."""
+    """Register a minimal top-level `rdkit` stub for reference modules
+    that import rdkit at module scope (e.g.
+    simple_coati2/transformer_only). CanonSmiles routes through OUR
+    no-rdkit fallback (in-tree graph canonicalization) so oracle-parity
+    tests exercise the same canonical forms the framework produces."""
     import types
+
+    from coati_tpu.chem.rdkit_support import canonicalize_or_self
 
     if "rdkit" not in sys.modules:
         rdkit = types.ModuleType("rdkit")
         chem = types.ModuleType("rdkit.Chem")
-        chem.CanonSmiles = lambda s: s
+        chem.CanonSmiles = canonicalize_or_self
 
         class _Log:
             def setLevel(self, *_):

@@ -90,12 +90,16 @@ def test_shuffle_buffer_is_permutation():
 
 
 def _ref_clip_ar_xform():
-    """Load the reference clip_ar_xform with rdkit stubbed to identity
-    canonicalization (matching our no-rdkit fallback)."""
+    """Load the reference clip_ar_xform with rdkit stubbed so that
+    CanonSmiles is OUR no-rdkit fallback (in-tree graph
+    canonicalization) — both sides then canonicalize identically and
+    the parity assertion covers the real offline canonical forms."""
+    from coati_tpu.chem.rdkit_support import canonicalize_or_self
+
     if "rdkit" not in sys.modules:
         rdkit = types.ModuleType("rdkit")
         chem = types.ModuleType("rdkit.Chem")
-        chem.CanonSmiles = lambda s: s
+        chem.CanonSmiles = canonicalize_or_self
         rdkit.Chem = chem
         sys.modules["rdkit"] = rdkit
         sys.modules["rdkit.Chem"] = chem
