@@ -123,8 +123,8 @@ def main():
         rdkit_note = "rdkit PRESENT (full canonicalization cost measured)"
     except ImportError:
         rdkit_note = (
-            "rdkit ABSENT (canonicalize falls back to identity; numbers "
-            "bound augmentation+tokenization only)"
+            "rdkit ABSENT (in-tree chemistry: graph_canon canonicalization "
+            "+ stereo-safe permutation measured)"
         )
     print(f"host cores: {cores}; corpus: {len(smiles)} ChEMBL molecules; {rdkit_note}")
 
