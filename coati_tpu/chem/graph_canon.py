@@ -31,7 +31,6 @@ Scope and limits (documented, not silent):
 
 from __future__ import annotations
 
-from dataclasses import replace
 from functools import lru_cache
 from typing import List, Optional, Tuple
 
@@ -41,6 +40,7 @@ from coati_tpu.chem.selfies_lite import (
     EncoderError,
     Mol,
     _bridges,
+    _perm_parity,
     _SMILES_VALENCE,
     kekulize,
     parse_smiles,
@@ -56,9 +56,14 @@ def implicit_hydrogens(mol: Mol) -> List[int]:
     is kekule-choice-independent, so it is a valid canonical invariant
     even though individual bond orders are not."""
     # kekulize mutates bond orders and atom aromatic flags — copy both
-    # shallowly (much cheaper than deepcopy in the host hot path)
+    # shallowly via positional constructors (dataclasses.replace is
+    # several times slower in this host hot path)
     km = Mol(
-        atoms=[replace(a) for a in mol.atoms],
+        atoms=[
+            Atom(a.element, a.aromatic, a.charge, a.isotope,
+                 a.chirality, a.hcount, a.idx, a.frag)
+            for a in mol.atoms
+        ],
         bonds=[Bond(b.a, b.b, b.order, b.aromatic) for b in mol.bonds],
         roots=mol.roots,
     )
@@ -95,16 +100,29 @@ def _labeled_adj(mol: Mol) -> List[List[Tuple[int, int]]]:
     return adj
 
 
+_M61 = (1 << 61) - 1
+
+
 def _refine(ladj: List[List[Tuple[int, int]]], ranks: List[int]) -> List[int]:
-    """WL refinement to a fixed point: each round appends the sorted
-    multiset of (edge label, neighbor rank) to every atom's key."""
+    """WL refinement to a fixed point. Each round's per-atom key is the
+    old rank plus a commutative 61-bit hash over the (edge label,
+    neighbor rank) multiset — commutativity replaces the per-atom sort,
+    and the two-step multiply/xor-shift mix makes an accidental multiset
+    collision (which would merely coarsen the partition and defer the
+    split to the tie-break search, never corrupt the result)
+    astronomically unlikely. Pure int arithmetic: deterministic across
+    processes and platforms."""
     n_classes = len(set(ranks))
     n = len(ranks)
     while True:
-        keys = [
-            (ranks[i], tuple(sorted((lb, ranks[j]) for lb, j in ladj[i])))
-            for i in range(n)
-        ]
+        keys: List[Tuple[int, int]] = []
+        for i in range(n):
+            s = 0
+            for lb, j in ladj[i]:
+                x = (((lb << 20) + ranks[j]) * 0x9E3779B97F4A7C15) & _M61
+                x ^= x >> 29
+                s = (s + x * 0xBF58476D1CE4E5B9) & _M61
+            keys.append((ranks[i], s))
         new = _dense_ranks(keys)
         new_classes = len(set(new))
         if new_classes == n_classes:
@@ -157,24 +175,98 @@ def _bump(ranks: List[int], chosen: int) -> List[int]:
     return _dense_ranks(keys)
 
 
+def _chi_rank(
+    mol: Mol,
+    biadj: List[List[Tuple[int, int, int]]],
+    ranks: List[int],
+    u: int,
+    input_roots: set,
+) -> str:
+    """The @/@@ marker of atom u re-oriented against the neighbor order
+    'ascending leaf rank, implicit H first' — an input-order-invariant
+    normal form of the absolute configuration (the same parity algebra
+    as write_smiles' fixup, against a rank-defined reference order
+    instead of the traversal order)."""
+    a = mol.atoms[u]
+    if a.chirality not in ("@", "@@") or len(mol.written) != len(mol.atoms):
+        return a.chirality
+    in_seq: list = list(mol.written[u])
+    out_seq: list = [
+        bi for _, _, bi in sorted(biadj[u], key=lambda t: ranks[t[1]])
+    ]
+    if a.hcount == 1:
+        in_seq.insert(0 if u in input_roots else 1, "H")
+        out_seq.insert(0, "H")
+    if len(in_seq) < 3 or set(in_seq) != set(out_seq):
+        return a.chirality  # defensive, mirrors the writer
+    if _perm_parity(in_seq, out_seq):
+        return "@@" if a.chirality == "@" else "@"
+    return a.chirality
+
+
+def _leaf_code(
+    mol: Mol,
+    biadj: List[List[Tuple[int, int, int]]],
+    ranks: List[int],
+    input_roots: set,
+) -> tuple:
+    """Total-order code of a discrete ranking: the rank-relabeled
+    attributed graph plus rank-normalized stereo markers. Cheaper than
+    writing the SMILES, and exactly as discriminating: equal codes mean
+    the two rankings are related by an attribute- and stereo-preserving
+    automorphism, so the written strings coincide — the min-code leaf
+    therefore yields the min-string SMILES order-invariantly."""
+    n = len(mol.atoms)
+    atoms_code: List[Optional[tuple]] = [None] * n
+    for a in mol.atoms:
+        u = a.idx
+        atoms_code[ranks[u]] = (
+            a.element,
+            a.aromatic,
+            a.charge,
+            a.isotope,
+            -1 if a.hcount is None else a.hcount,
+            _chi_rank(mol, biadj, ranks, u, input_roots),
+            tuple(sorted((lb, ranks[j]) for lb, j, _ in biadj[u])),
+        )
+    stereo = []
+    for b in mol.bonds:
+        if b.stereo:
+            ra, rb = ranks[b.a], ranks[b.b]
+            lo = b.a if ra < rb else b.b
+            mark = b.stereo if b.stereo_at == lo else (
+                "/" if b.stereo == "\\" else "\\"
+            )
+            stereo.append((min(ra, rb), max(ra, rb), mark))
+    stereo.sort()
+    return (tuple(atoms_code), tuple(stereo))
+
+
 def _search(
     mol: Mol,
     ladj: List[List[Tuple[int, int]]],
+    biadj: List[List[Tuple[int, int, int]]],
     ranks: List[int],
     budget: List[int],
-) -> str:
+    input_roots: set,
+) -> Tuple[tuple, List[int]]:
     ranks = _refine(ladj, ranks)
     cell = _first_ambiguous_cell(ranks)
     if cell is None:
-        return write_smiles(mol, order=ranks)
+        return _leaf_code(mol, biadj, ranks, input_roots), ranks
     if budget[0] <= 0:
         # budget exhausted: deterministic-but-not-order-invariant fallback
-        return _search(mol, ladj, _bump(ranks, cell[0]), budget)
-    best: Optional[str] = None
+        return _search(mol, ladj, biadj, _bump(ranks, cell[0]), budget, input_roots)
+    # NOTE: nauty-style orbit pruning (deriving automorphisms from
+    # equal-code leaf pairs) was tried and removed: on druglike corpora
+    # cells are almost always size 2 — both members must be explored
+    # before an automorphism is even observable — so it skipped ~0.1%
+    # of leaves while taxing every equal-code comparison.
+    best: Optional[Tuple[tuple, List[int]]] = None
     for member in cell:
         budget[0] -= 1
-        cand = _search(mol, ladj, _bump(ranks, member), budget)
-        if best is None or cand < best:
+        cand = _search(mol, ladj, biadj, _bump(ranks, member), budget, input_roots)
+        if best is None or cand[0] < best[0]:
             best = cand
         if budget[0] <= 0:
             break
@@ -192,7 +284,16 @@ def _canonical_cached(smiles: str, use_chiral: bool, budget: int) -> str:
             b.stereo = ""
             b.stereo_at = -1
     ranks = canonical_ranks(mol)
-    return _search(mol, _labeled_adj(mol), ranks, [budget])
+    biadj: List[List[Tuple[int, int, int]]] = [[] for _ in mol.atoms]
+    for bi, b in enumerate(mol.bonds):
+        label = 5 if b.aromatic else b.order
+        biadj[b.a].append((label, b.b, bi))
+        biadj[b.b].append((label, b.a, bi))
+    input_roots = {node.atom for node in mol.roots}
+    _, leaf_ranks = _search(
+        mol, _labeled_adj(mol), biadj, ranks, [budget], input_roots
+    )
+    return write_smiles(mol, order=leaf_ranks)
 
 
 def canonical_smiles(
