@@ -363,9 +363,23 @@ def mol_to_atoms_coords(
     return tuple(out)
 
 
-@works_on_smiles(raise_on_failure=False)
 def mol_standardize(mol):
-    """Strip salts, keep the largest fragment, neutralize."""
+    """Strip salts, keep the largest fragment, neutralize (reference
+    rdkit_utils.py:227-248). Offline the in-tree standardizer
+    (chem/standardize.py: canonical salt matching + largest fragment +
+    Uncharger H-shuffle) handles SMILES inputs and returns a SMILES
+    string; with rdkit the original Mol pipeline runs."""
+    if not HAS_RDKIT:
+        if not isinstance(mol, str):
+            require_rdkit("mol_standardize on Mol objects")
+        from coati_tpu.chem.standardize import standardize_smiles
+
+        return standardize_smiles(mol)
+    return _mol_standardize_rdkit(mol)
+
+
+@works_on_smiles(raise_on_failure=False)
+def _mol_standardize_rdkit(mol):
     res = SaltRemover().StripMol(mol, dontRemoveEverything=True)
     if res.GetNumAtoms():
         frags = sorted(
