@@ -57,7 +57,8 @@ def clip_ar_xform(
 ) -> Dict:
     """fp_targets: optional tuple like (("morgan", 2048),) — computes the
     named fingerprints host-side into batch['fp_<name>'] (the fp-variant
-    xform, clip_fp_e2e.py:21,273-278; requires rdkit).
+    xform, clip_fp_e2e.py:21,273-278; rdkit when present, else the
+    in-tree ECFP engine in chem/fingerprints.py).
     canonicalize=False uses the input strings verbatim — the SELFIES
     adapter needs this: cached selfies are already canonical
     (clip_e2e_selfies.py:76) and RDKit would happily parse

@@ -190,3 +190,28 @@ def test_width_rounding_clamped_to_n_seq():
                         p_formula=0.0, p_fim=0.0, p_graph=0.0)
     assert out["tokens"].shape[1] <= 30
     assert out["raw_tokens"].shape[1] <= 30
+
+
+def test_fp_targets_offline():
+    """fp_targets computes Morgan bit targets host-side through
+    mol_to_morgan — offline via the in-tree ECFP engine
+    (chem/fingerprints.py), with rdkit when present — so the fp-variant
+    training recipe (clip_fp_e2e.py:273-278) runs without the package."""
+    mtok = TrieTokenizer(n_seq=64, **get_vocab("mar"))
+    batch = {
+        "smiles": ["CCO", "c1ccccc1", "CC(=O)O"],
+        "atoms": np.array([[6, 6, 8], [6, 6, 6], [6, 6, 8]], dtype=float),
+        "coords": np.zeros((3, 3, 3)),
+    }
+    out = clip_ar_xform(
+        batch, mtok, rng=random.Random(0), fp_targets=(("morgan", 512),)
+    )
+    fp = out["fp_morgan"]
+    assert fp.shape == (3, 512) and fp.dtype == np.int32
+    assert set(np.unique(fp)) <= {0, 1}
+    assert fp.sum(axis=1).min() > 0  # every molecule sets some bits
+    # deterministic across calls
+    out2 = clip_ar_xform(
+        dict(batch), mtok, rng=random.Random(1), fp_targets=(("morgan", 512),)
+    )
+    assert np.array_equal(out2["fp_morgan"], fp)
