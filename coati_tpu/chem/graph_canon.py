@@ -283,6 +283,19 @@ def _canonical_cached(smiles: str, use_chiral: bool, budget: int) -> str:
         for b in mol.bonds:
             b.stereo = ""
             b.stereo_at = -1
+    else:
+        # Degenerate @/@@ (fewer than 3 written neighbors incl. the
+        # one explicit H) carries no stereochemistry; the writer's
+        # defensive branch passes such markers through UNORIENTED,
+        # which would leak input atom order into the canonical form
+        # (caught by grammar-soup fuzz). Strip them up front — RDKit
+        # likewise discards non-stereogenic markers.
+        have_written = len(mol.written) == len(mol.atoms)
+        for a in mol.atoms:
+            if a.chirality and have_written:
+                nb = len(mol.written[a.idx]) + (1 if a.hcount == 1 else 0)
+                if nb < 3:
+                    a.chirality = ""
     ranks = canonical_ranks(mol)
     biadj: List[List[Tuple[int, int, int]]] = [[] for _ in mol.atoms]
     for bi, b in enumerate(mol.bonds):

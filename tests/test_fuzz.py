@@ -69,3 +69,75 @@ def test_batch_smiles_empty_and_oversized():
     # output (kept rows only) — pin both halves of that contract
     assert bad == [1]
     assert arr.shape[0] == 1
+
+
+def test_canonicalizer_fuzz_never_crashes_or_drifts():
+    """canonicalize_or_self / canon_smiles / mol_standardize over random
+    byte soup, truncated SMILES, and random-grammar molecule strings:
+    never raise, and whenever the input parses, the canonical form is
+    permutation-stable and idempotent."""
+    from coati_tpu.chem import selfies_lite as sl
+    from coati_tpu.chem.rdkit_support import (
+        canon_smiles,
+        canonicalize_or_self,
+        mol_standardize,
+    )
+
+    rng = random.Random(42)
+    atoms = ["C", "c", "N", "n", "O", "o", "S", "F", "Cl", "Br",
+             "[NH+]", "[O-]", "[C@H]", "[C@@H]", "[Se]", "[13C]"]
+    decorations = ["", "=", "#", "(", ")", "1", "2", "/", "\\", "."]
+    cases = []
+    for _ in range(300):
+        n = rng.randint(1, 24)
+        cases.append(
+            "".join(
+                rng.choice(atoms) + rng.choice(decorations) for _ in range(n)
+            )
+        )
+    for _ in range(100):
+        cases.append(
+            "".join(rng.choice(string.printable[:80]) for _ in range(rng.randint(1, 30)))
+        )
+    # structured-random valid molecules: random trees over the organic
+    # subset with random bond orders and occasional charges/stereo —
+    # these always parse, so the invariance half of the test gets real
+    # coverage beyond what the soup happens to produce
+    tree_atoms = ["C", "N", "O", "S", "P", "F", "Cl", "[N+]", "[O-]", "[C@H]", "[C@@H]"]
+    for _ in range(120):
+        parts = [rng.choice(["C", "N", "O", "S"])]
+        depth = 0
+        for _ in range(rng.randint(2, 16)):
+            r = rng.random()
+            if r < 0.15 and depth < 3:
+                parts.append("(")
+                depth += 1
+            elif r < 0.25 and depth > 0:
+                parts.append(")")
+                depth -= 1
+            parts.append(rng.choice(["", "", "", "=", "#"]))
+            parts.append(rng.choice(tree_atoms))
+        parts.extend(")" * depth)
+        cases.append("".join(parts))
+    from coati_tpu.chem.graph_canon import canonical_smiles
+
+    canonical = 0
+    for s in cases:
+        canonicalize_or_self(s)  # public wrappers must never raise
+        canon_smiles(s)
+        mol_standardize(s)
+        try:
+            c1 = canonical_smiles(s)
+        except Exception:  # noqa: BLE001
+            # unparseable or non-kekulizable soup: the public wrappers
+            # above already proved they degrade without raising
+            continue
+        canonical += 1
+        assert canonical_smiles(c1) == c1, s  # idempotent
+        for _ in range(2):
+            try:
+                p = sl.permute_smiles(s, rng)
+            except Exception:  # noqa: BLE001
+                break
+            assert canonical_smiles(p) == c1, (s, p)
+    assert canonical >= 20  # the grammar soup produced real molecules
