@@ -250,11 +250,16 @@ def tpsa(mol: Mol, hydrogens: Optional[List[int]] = None) -> float:
 # ------------------------------------------------------------ descriptors
 
 
-@lru_cache(maxsize=100_000)
 def molecular_descriptors(smiles: str) -> Dict[str, float]:
     """All in-tree-computable descriptors of the reference
     mol_properties / coati2_properties set. Raises EncoderError on
-    unparseable SMILES. MolLogP and QED are absent (rdkit-gated)."""
+    unparseable SMILES. Returns a fresh dict per call (the cache holds
+    an immutable snapshot, so caller mutation can't poison it)."""
+    return dict(_cached_descriptors(smiles))
+
+
+@lru_cache(maxsize=100_000)
+def _cached_descriptors(smiles: str) -> tuple:
     mol = parse_smiles(smiles)
     h = implicit_hydrogens(mol)
     n = len(mol.atoms)
@@ -349,7 +354,7 @@ def molecular_descriptors(smiles: str) -> Dict[str, float]:
             continue
         rot += 1
 
-    return {
+    return tuple({
         "MolWt": round(mol_wt, 3),
         "ExactMolWt": round(exact_wt, 4),
         "TPSA": tpsa(mol, h),
@@ -365,4 +370,4 @@ def molecular_descriptors(smiles: str) -> Dict[str, float]:
         "NumSaturatedRings": num_saturated,
         "NumAromaticCarbocycles": num_arom_carbo,
         "NumAliphaticCarbocycles": num_aliph_carbo,
-    }
+    }.items())

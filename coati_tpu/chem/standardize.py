@@ -139,14 +139,21 @@ def _uncharge(mol: Mol) -> None:
     for a in mol.atoms:
         if a.element not in _ORGANIC:
             continue  # metals etc.: salt stripping handles them
+        changed = False
         while a.charge < 0:
             a.charge += 1
+            changed = True
             if a.hcount is not None:
                 a.hcount += 1
         while a.charge > 0 and (a.hcount or 0) > 0:
             a.charge -= 1
             a.hcount -= 1
-        if a.charge == 0 and not a.isotope and not a.chirality:
+            changed = True
+        # Only atoms the shuffle actually touched get their H count
+        # re-derived; clearing hcount on already-neutral atoms would
+        # strip load-bearing explicit hydrogens (aromatic [nH],
+        # radicals like [CH3]) and corrupt the molecule.
+        if changed and a.charge == 0 and not a.isotope and not a.chirality:
             a.hcount = None  # re-derive implicit H from valence
 
 
@@ -169,7 +176,9 @@ def standardize_smiles(smiles: str) -> Optional[str]:
         sub = _submol(mol, atoms)
         s = write_smiles(sub)
         key = _neutral_key(s)
-        heavy = len(atoms)
+        # Heavy-atom count: explicit [H] atoms don't count toward
+        # fragment size (mirrors rdkit's heavy-atom ordering).
+        heavy = sum(1 for i in atoms if mol.atoms[i].element != "H")
         canon = canonical_smiles(s) if key is not None else s
         parts.append((heavy, canon, key in salt_keys if key else False, sub))
     survivors = [p for p in parts if not p[2]]

@@ -170,8 +170,10 @@ def test_property_tokens_offline_block():
 def test_descriptor_determinism_and_cache():
     a = molecular_descriptors("Cn1cnc2c1C(=O)N(C)C(=O)N2C")
     b = molecular_descriptors("Cn1cnc2c1C(=O)N(C)C(=O)N2C")
-    assert a is b  # lru-cached
-    for v in a.values():
+    assert a == b and a is not b  # cached snapshot, fresh dict per call
+    a["MolWt"] = -1.0  # caller mutation must not poison the cache
+    assert molecular_descriptors("Cn1cnc2c1C(=O)N(C)C(=O)N2C")["MolWt"] > 0
+    for v in b.values():
         assert math.isfinite(v)
 
 

@@ -69,6 +69,33 @@ def test_uncharge():
     assert "+" in out
 
 
+def test_aromatic_nh_preserved():
+    # [nH] hydrogens are load-bearing (kekulizability); the uncharger
+    # must not strip them from atoms it never touched.
+    out = standardize_smiles("c1cc[nH]c1.Cl")  # pyrrole HCl
+    assert out is not None and "[nH]" in out
+    assert canon_eq(out, "c1cc[nH]c1")
+    out = standardize_smiles("c1ccc2[nH]ccc2c1")  # indole, no salt
+    assert out is not None and "[nH]" in out
+    assert canon_eq(out, "c1ccc2[nH]ccc2c1")
+    out = standardize_smiles("c1cnc[nH]1.O")  # imidazole hydrate
+    assert out is not None and "[nH]" in out
+
+
+def test_explicit_h_counts_preserved():
+    # radical-style explicit H counts survive on untouched atoms
+    out = standardize_smiles("[CH3]")
+    assert out == "[CH3]"
+    # ...but atoms the shuffle neutralized re-derive implicit H
+    assert canon_eq(standardize_smiles("C[NH3+]"), "CN")
+
+
+def test_largest_fragment_ignores_explicit_h():
+    # [H]-laden small fragment must not beat a larger heavy-atom one
+    out = standardize_smiles("C([H])([H])([H])O[H].CCCCCCN")
+    assert canon_eq(out, "CCCCCCN")
+
+
 def test_stereo_preserved():
     out = standardize_smiles("N[C@@H](C)C(=O)O.Cl")
     assert canon_eq(out, "N[C@@H](C)C(=O)O")
