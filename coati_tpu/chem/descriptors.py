@@ -2,10 +2,9 @@
 
 Offline substitute for the descriptor block of the reference's
 mol_properties (containers/rdkit_utils.py:249-265) and the COATI2
-property-conditioning source coati2_properties
-(data/xform_coati2.py) — everything except MolLogP and QED, which
-require Crippen's SMARTS contribution tables / the QED desirability
-curves and stay rdkit-gated.
+property-conditioning source coati2_properties (data/xform_coati2.py).
+MolLogP and QED live in chem/crippen.py and chem/qed.py (they need the
+SMARTS matcher, chem/smarts.py); everything else is computed here.
 
 Definitions used (documented because pattern-based RDKit counts can
 differ at the margin; a gated test asserts agreement when rdkit is
@@ -260,7 +259,13 @@ def molecular_descriptors(smiles: str) -> Dict[str, float]:
 
 @lru_cache(maxsize=100_000)
 def _cached_descriptors(smiles: str) -> tuple:
+    # deferred import: aromaticity pulls sssr_rings from this module
+    from coati_tpu.chem.aromaticity import perceive_aromaticity
+
     mol = parse_smiles(smiles)
+    # rdkit-model perception so a kekulized writing reports the same
+    # TPSA / aromatic-ring counts / FractionCSP3 as the aromatic form
+    perceive_aromaticity(mol)
     h = implicit_hydrogens(mol)
     n = len(mol.atoms)
     adj: List[List[tuple]] = [[] for _ in range(n)]

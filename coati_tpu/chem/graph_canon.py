@@ -13,12 +13,11 @@ uses for dedup/uniqueness statistics and augmentation targets
 validity/uniqueness accounting).
 
 Scope and limits (documented, not silent):
-- Canonical under ATOM-ORDER permutation of the same written form.
-  There is no aromaticity re-perception, so a kekulized writing and an
-  aromatic writing of the same molecule canonicalize to different
-  strings (RDKit would unify them). Everything this framework emits —
-  decoder samples, augmentation permutations, SELFIES decodes — stays
-  within one form, so uniqueness/dedup statistics are exact.
+- Aromaticity is RE-PERCEIVED on entry (chem/aromaticity.py, the
+  RDKit default model), so a kekulized writing and an aromatic writing
+  of the same molecule canonicalize to ONE string — the
+  Chem.CanonSmiles unification property. SELFIES decodes (kekulized)
+  therefore dedup correctly against aromatic dataset forms.
 - Tetrahedral markers are re-oriented per traversal by the writer's
   parity fixup (selfies_lite.write_smiles), so stereo SMILES
   canonicalize consistently; agreement with RDKit's absolute @/@@
@@ -276,7 +275,14 @@ def _search(
 
 @lru_cache(maxsize=200_000)
 def _canonical_cached(smiles: str, use_chiral: bool, budget: int) -> str:
+    # deferred import: aromaticity pulls implicit_hydrogens from here
+    from coati_tpu.chem.aromaticity import perceive_aromaticity
+
     mol = parse_smiles(smiles)
+    # rdkit-model aromaticity perception: a kekulized writing and an
+    # aromatic writing of one molecule unify to the same canonical form
+    # (reference containers/rdkit_utils.py:82 Chem.CanonSmiles semantics)
+    perceive_aromaticity(mol)
     if not use_chiral:
         for a in mol.atoms:
             a.chirality = ""

@@ -396,16 +396,21 @@ def _mol_standardize_rdkit(mol):
 
 def mol_properties(mol) -> Dict[str, Any]:
     """Descriptor dict (reference rdkit_utils.py:249-265). Offline the
-    in-tree engine (chem/descriptors.py) computes every key except
-    MolLogP (Crippen's SMARTS contribution tables are rdkit-only);
-    callers treat keys as optional."""
+    in-tree engines compute the full set: chem/descriptors.py for the
+    counts/TPSA/weights, chem/crippen.py for MolLogP (Wildman-Crippen
+    tables over the in-tree SMARTS matcher), chem/qed.py for QED."""
     if not HAS_RDKIT:
         if not isinstance(mol, str):
             require_rdkit("mol_properties on Mol objects")
+        from coati_tpu.chem.crippen import mol_logp
         from coati_tpu.chem.descriptors import molecular_descriptors
+        from coati_tpu.chem.qed import qed
 
         try:
-            return dict(molecular_descriptors(mol))
+            out = dict(molecular_descriptors(mol))
+            out["MolLogP"] = mol_logp(mol)
+            out["QED"] = qed(mol)
+            return out
         except Exception:  # noqa: BLE001
             return None
     return _mol_properties_rdkit(mol)

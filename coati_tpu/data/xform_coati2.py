@@ -67,16 +67,21 @@ PROPERTY_BUCKETS = {
 
 def coati2_properties(smiles: str) -> Optional[Dict[str, float]]:
     """Descriptors needed by PROPERTY_BUCKETS. With rdkit: the full set.
-    Without rdkit the in-tree descriptor engine (chem/descriptors.py)
-    supplies every key except MolLogP and QED (Crippen/QED tables are
-    rdkit-only), so those two conditioning tokens are simply absent from
-    offline-built training rows. Returns None when the molecule does not
-    parse."""
+    Without rdkit the in-tree engines supply the same full set —
+    chem/descriptors.py for counts/TPSA/weights, chem/crippen.py for
+    MolLogP, chem/qed.py for QED — so [IntMolLogP]/[PercentQED]
+    conditioning tokens appear in offline-built rows too. Returns None
+    when the molecule does not parse."""
     if not HAS_RDKIT:
+        from coati_tpu.chem.crippen import mol_logp
         from coati_tpu.chem.descriptors import molecular_descriptors
+        from coati_tpu.chem.qed import qed as _qed
 
         try:
-            return dict(molecular_descriptors(smiles))
+            out = dict(molecular_descriptors(smiles))
+            out["MolLogP"] = mol_logp(smiles)
+            out["QED"] = _qed(smiles)
+            return out
         except Exception:  # noqa: BLE001
             return None
     from rdkit import Chem

@@ -1,0 +1,254 @@
+"""Offline Wildman-Crippen MolLogP (chem/crippen.py) and QED
+(chem/qed.py) — the two descriptors VERDICT r3 flagged as rdkit-only.
+
+Reference surfaces covered:
+  containers/rdkit_utils.py:249-265  mol_properties includes MolLogP
+  vocabs/coati2_12_12.json           [IntMolLogP]/[PercentQED] tokens
+  examples/metadynamics/due_qed_barlow.pt  QED as optimization target
+
+Offline pins are rdkit-exact values (Crippen.MolLogP / QED.qed on the
+same SMILES) hand-verified against the published tables; the gated
+oracle test at the bottom asserts live agreement whenever rdkit is
+importable.
+"""
+
+import os
+import pickle
+
+import pytest
+
+from coati_tpu.chem.crippen import atom_types, mol_logp
+from coati_tpu.chem.qed import (
+    ads,
+    ADS_PARAMS,
+    qed,
+    qed_properties,
+    weights_max,
+    weights_none,
+)
+
+try:
+    from rdkit import Chem  # noqa: F401
+
+    HAS_RDKIT = True
+except Exception:  # noqa: BLE001
+    HAS_RDKIT = False
+
+CHEMBL_PKL = "/root/reference/examples/simple_mol_generation/chembl.pkl"
+
+
+def chembl_smiles():
+    if not os.path.exists(CHEMBL_PKL):
+        pytest.skip("reference ChEMBL corpus not present")
+    with open(CHEMBL_PKL, "rb") as f:
+        rows = pickle.load(f)
+    out = {
+        r.get("SMILES") or r.get("smiles")
+        for r in rows
+        if (r.get("SMILES") or r.get("smiles"))
+    }
+    return sorted(out)
+
+
+# ------------------------------------------------------- Crippen logP
+
+
+def test_logp_hand_decompositions():
+    """Contributions sum as the Wildman-Crippen table prescribes."""
+    # methane: C1 (0.1441) + 4 x H1 (0.1230)
+    assert mol_logp("C") == pytest.approx(0.1441 + 4 * 0.1230, abs=1e-4)
+    # ethane: 2 x C1 + 6 x H1
+    assert mol_logp("CC") == pytest.approx(2 * 0.1441 + 6 * 0.1230, abs=1e-4)
+    # benzene: 6 x C18 (0.1581) + 6 x H1
+    assert mol_logp("c1ccccc1") == pytest.approx(
+        6 * 0.1581 + 6 * 0.1230, abs=1e-4
+    )
+    # naphthalene: 8 x C18 + 2 x C19 (0.2955) + 8 x H1
+    assert mol_logp("c1ccc2ccccc2c1") == pytest.approx(
+        8 * 0.1581 + 2 * 0.2955 + 8 * 0.1230, abs=1e-4
+    )
+
+
+# rdkit Crippen.MolLogP values (exact to the printed precision).
+LOGP_PINS = [
+    ("CCO", -0.0014),                              # ethanol
+    ("CC(=O)Oc1ccccc1C(=O)O", 1.3101),             # aspirin
+    ("Cn1c(=O)c2c(ncn2C)n(C)c1=O", -1.0293),       # caffeine
+    ("CC(=O)Nc1ccc(O)cc1", 1.3506),                # paracetamol
+    ("CC(C)Cc1ccc(cc1)C(C)C(=O)O", 3.0732),        # ibuprofen
+    ("c1ccncc1", 1.0816),                          # pyridine
+    ("Oc1ccccc1", 1.3922),                         # phenol
+    ("NCC(=O)O", -0.9703),                         # glycine
+    ("CC([O-])=O", -1.2438),                       # acetate (O12 row)
+    ("O=[N+]([O-])c1ccccc1", 1.5948),              # nitrobenzene
+]
+
+
+@pytest.mark.parametrize("smiles,expected", LOGP_PINS)
+def test_logp_rdkit_pins(smiles, expected):
+    assert mol_logp(smiles) == pytest.approx(expected, abs=1e-4)
+
+
+def test_atom_typing_is_total_on_chembl():
+    """Every atom of every corpus molecule takes a table type — the CS/
+    NS/OS/... fallback rows make typing total for organic chemistry, so
+    '??' (contribution silently 0.0) indicates a matcher bug."""
+    for s in chembl_smiles()[:300]:
+        try:
+            types = atom_types(s)
+        except Exception:  # unparseable corpus rows are out of scope
+            continue
+        bad = [t for t, _ in types if t == "??"]
+        assert not bad, (s, bad)
+
+
+# ---------------------------------------------------------------- QED
+
+
+def test_ads_desirability_shape():
+    """Each ADS curve peaks inside its druglike window and decays in the
+    tails (the D/E/F fits are asymmetric sigmoids normalized by DMAX)."""
+    p = ADS_PARAMS["MW"]
+    assert ads(300.0, p) > ads(30.0, p)
+    assert ads(300.0, p) > ads(900.0, p)
+    assert 0.0 < ads(300.0, p) <= 1.0
+
+
+def test_qed_properties_aspirin():
+    props = qed_properties("CC(=O)Oc1ccccc1C(=O)O")
+    assert props["MW"] == pytest.approx(180.159, abs=0.01)
+    assert props["ALOGP"] == pytest.approx(1.3101, abs=1e-4)
+    assert props["HBA"] == 4.0       # 2 ester/acid =O + 2 single-bond O
+    assert props["HBD"] == 1.0       # the acid OH
+    assert props["PSA"] == pytest.approx(63.60, abs=0.02)
+    assert props["ROTB"] == 2.0
+    assert props["AROM"] == 1.0
+    assert props["ALERTS"] == 1.0    # phenol ester alert fires on aspirin
+
+
+def test_qed_properties_caffeine():
+    props = qed_properties("Cn1c(=O)c2c(ncn2C)n(C)c1=O")
+    assert props["HBA"] == 3.0       # aromatic n + ... (rdkit QED value)
+    assert props["HBD"] == 0.0
+    assert props["ROTB"] == 0.0
+    assert props["AROM"] == 2.0      # perceived-aromatic purine system
+    assert props["ALERTS"] == 0.0
+
+
+# rdkit QED.qed (mean weights) values.
+QED_PINS = [
+    ("Cn1c(=O)c2c(ncn2C)n(C)c1=O", 0.5385),        # caffeine
+    ("CC(=O)Nc1ccc(O)cc1", 0.5950),                # paracetamol
+]
+
+
+@pytest.mark.parametrize("smiles,expected", QED_PINS)
+def test_qed_rdkit_pins(smiles, expected):
+    assert qed(smiles) == pytest.approx(expected, abs=5e-4)
+
+
+def test_qed_weight_variants_and_range():
+    caffeine = "Cn1c(=O)c2c(ncn2C)n(C)c1=O"
+    for f in (qed, weights_max, weights_none):
+        v = f(caffeine)
+        assert 0.0 < v < 1.0
+    # distinct weight vectors give distinct scores
+    assert weights_max(caffeine) != pytest.approx(qed(caffeine), abs=1e-6)
+
+
+def test_qed_ranks_druglike_above_fragments():
+    """Druglike molecules score above tiny fragments and above
+    alert-laden molecules — the qualitative property metadynamics
+    optimization depends on."""
+    assert qed("CC(C)Cc1ccc(cc1)C(C)C(=O)O") > qed("C")       # ibuprofen
+    assert qed("CC(C)Cc1ccc(cc1)C(C)C(=O)O") > qed("II")      # iodine alert
+
+
+def test_qed_deterministic_and_total_on_chembl():
+    for s in chembl_smiles()[:150]:
+        try:
+            v = qed(s)
+        except Exception:
+            continue
+        assert 0.0 < v < 1.0, s
+        assert qed(s) == v
+
+
+# ------------------------------------------------------------- wiring
+
+
+def test_mol_properties_full_set_offline():
+    """mol_properties returns MolLogP + QED with or without rdkit
+    (reference rdkit_utils.py:249-265 includes MolLogP; QED is the
+    offline superset the COATI2 conditioning needs)."""
+    from coati_tpu.chem.rdkit_support import mol_properties
+
+    d = mol_properties("Cn1c(=O)c2c(ncn2C)n(C)c1=O")
+    assert d["MolLogP"] == pytest.approx(-1.0293, abs=1e-3)
+    if not HAS_RDKIT:
+        assert d["QED"] == pytest.approx(0.5385, abs=5e-4)
+
+
+def test_coati2_property_tokens_offline():
+    """[IntMolLogP]/[PercentQED] appear in offline-built COATI2
+    conditioning blocks (VERDICT r3 item 2 done-criterion)."""
+    from coati_tpu.data.xform_coati2 import coati2_properties, property_tokens
+    from coati_tpu.tokenizers import get_vocab
+    from coati_tpu.tokenizers.trie_tokenizer import TrieTokenizer
+
+    props = coati2_properties("CC(=O)Oc1ccccc1C(=O)O")
+    assert props["MolLogP"] == pytest.approx(1.3101, abs=1e-3)
+    assert "QED" in props
+
+    tok = TrieTokenizer(n_seq=256, **get_vocab("coati2_12_12"))
+    block = property_tokens("CC(=O)Oc1ccccc1C(=O)O", tok)
+    assert "[IntMolLogP]" in block
+    assert "[PercentQED]" in block
+
+
+# ------------------------------------------------- gated rdkit oracle
+
+
+@pytest.mark.skipif(not HAS_RDKIT, reason="rdkit not importable")
+def test_logp_agrees_with_rdkit_on_chembl():
+    from rdkit.Chem import Crippen
+
+    checked = 0
+    for s in chembl_smiles()[:300]:
+        m = Chem.MolFromSmiles(s)
+        if m is None:
+            continue
+        try:
+            ours = mol_logp(s)
+        except Exception:
+            continue
+        assert ours == pytest.approx(Crippen.MolLogP(m), abs=1e-3), s
+        checked += 1
+    assert checked >= 200
+
+
+@pytest.mark.skipif(not HAS_RDKIT, reason="rdkit not importable")
+def test_qed_agrees_with_rdkit_on_chembl():
+    from rdkit.Chem import QED
+
+    checked = 0
+    for s in chembl_smiles()[:150]:
+        m = Chem.MolFromSmiles(s)
+        if m is None:
+            continue
+        try:
+            ours = qed(s)
+        except Exception:
+            continue
+        ref = QED.qed(m)
+        theirs = QED.properties(m)
+        ours_p = qed_properties(s)
+        for k_ref, k in (("MW", "MW"), ("ALOGP", "ALOGP"), ("HBA", "HBA"),
+                         ("HBD", "HBD"), ("PSA", "PSA"), ("ROTB", "ROTB"),
+                         ("AROM", "AROM"), ("ALERTS", "ALERTS")):
+            assert ours_p[k] == pytest.approx(
+                getattr(theirs, k_ref), abs=0.05
+            ), (s, k)
+        assert ours == pytest.approx(ref, abs=1e-3), s
+        checked += 1
+    assert checked >= 100

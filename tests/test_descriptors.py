@@ -136,8 +136,9 @@ def test_mol_properties_offline_or_online():
     assert d["MolWt"] == pytest.approx(180.159, abs=0.01)
     assert d["NumHDonors"] == 1
     assert d["RingCount"] == 1
-    if not HAS_RDKIT:
-        assert "MolLogP" not in d  # rdkit-gated descriptor stays absent
+    # round 4: MolLogP is offline too (chem/crippen.py). rdkit's aspirin
+    # Crippen value is 1.3101; the in-tree matcher reproduces it exactly.
+    assert d["MolLogP"] == pytest.approx(1.3101, abs=0.02)
 
 
 def test_mol_properties_bad_smiles_returns_none():
@@ -150,8 +151,8 @@ def test_coati2_properties_offline():
     props = coati2_properties("CC(=O)Oc1ccccc1C(=O)O")
     assert props is not None
     covered = [k for _, (k, _) in PROPERTY_BUCKETS.items() if k in props]
-    # offline: everything except MolLogP and QED; online: everything
-    assert len(covered) >= len(PROPERTY_BUCKETS) - 2
+    # round 4: the full set offline too (crippen.py + qed.py close the gap)
+    assert len(covered) == len(PROPERTY_BUCKETS)
     assert props["ExactMolWt"] == pytest.approx(180.0423, abs=0.001)
     assert coati2_properties("((((") is None
 

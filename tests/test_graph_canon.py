@@ -65,6 +65,20 @@ EQUIV_GROUPS = [
     ["CC(C)Cc1ccc(cc1)C(C)C(=O)O", "OC(=O)C(C)c1ccc(CC(C)C)cc1"],
     ["CCO.CC", "CC.OCC"],
     ["[O-]C(=O)C", "CC([O-])=O"],
+    # cross-form: kekulized and aromatic writings of one molecule unify
+    # via rdkit-model aromaticity perception (chem/aromaticity.py)
+    ["c1ccccc1", "C1=CC=CC=C1"],
+    ["c1cc[nH]c1", "C1=CC=CN1"],
+    ["c1ccncc1", "C1=CC=NC=C1"],
+    ["c1ccoc1", "C1=CC=CO1"],
+    ["c1ccsc1", "C1=CC=CS1"],
+    ["c1c[nH]cn1", "C1=CN=CN1"],
+    ["c1ccc2ccccc2c1", "C1=CC=C2C=CC=CC2=C1"],
+    ["c1ccc2[nH]ccc2c1", "C1=CC=C2C(=C1)C=CN2"],
+    ["O=c1cccc[nH]1", "O=C1C=CC=CN1"],
+    ["Cn1c(=O)c2c(ncn2C)n(C)c1=O", "CN1C(=O)N(C)C2=C(C1=O)N(C)C=N2"],
+    ["Cc1ccccc1", "CC1=CC=CC=C1"],
+    ["CC(=O)Oc1ccccc1C(=O)O", "CC(=O)OC1=CC=CC=C1C(=O)O"],
 ]
 
 
@@ -90,6 +104,30 @@ def test_permutation_invariance_chembl():
             p = sl.permute_smiles(s, rng)
             assert canonical_smiles(p) == c0, (s, p)
         assert canonical_smiles(c0) == c0, s
+
+
+def test_kekulize_invariance_chembl():
+    """ChEMBL corpus: kekulizing a molecule and canonicalizing gives the
+    same string as canonicalizing the aromatic dataset form — the
+    unification property rdkit's CanonSmiles provides (reference
+    containers/rdkit_utils.py:82) that makes SELFIES-decoded (kekulized)
+    molecules dedup correctly against aromatic dataset forms."""
+    for s in chembl_smiles()[:150]:
+        m = sl.parse_smiles(s)
+        sl.kekulize(m)
+        kek = sl.write_smiles(m)
+        assert canonical_smiles(kek) == canonical_smiles(s), (s, kek)
+
+
+def test_aromatic_forms_stay_aromatic():
+    """Perceived-aromatic rings write in aromatic (lowercase) form, and
+    non-aromatic rings stay uppercase (fulvene must not aromatize)."""
+    assert "c1" in canonical_smiles("C1=CC=CC=C1")
+    assert "[nH]" in canonical_smiles("C1=CC=CN1")
+    fulvene = canonical_smiles("C=C1C=CC=C1")
+    assert "c" not in fulvene, fulvene
+    cyclohexene = canonical_smiles("C1=CCCCC1")
+    assert "c" not in cyclohexene, cyclohexene
 
 
 def test_stereo_permutation_invariance():
