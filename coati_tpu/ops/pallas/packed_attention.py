@@ -35,10 +35,11 @@ lane-packed tiles).
 Scope: T <= 128 and C % 128 == 0. Complements flash_attention.py
 (which wins only at T >= 192 where traffic dominates) — between them
 every COATI sequence length has a fused option. Softmax always runs in
-f32 in VMEM. Differentiation: custom VJP replaying the XLA reference
-formulation (same contract as flash_causal_attention — correct
-everywhere, but fwd+grad re-pays an XLA forward, so training configs
-keep prefill_kernel="xla").
+f32 in VMEM. Differentiation: custom VJP backed by a PACKED PALLAS
+backward kernel (_packed_bwd_kernel below — 4 more dense lane-packed
+matmuls, recomputing probs from the saved q/k/v), so fwd+grad through
+this path beats XLA too and the kernel is safe for training configs,
+including under jax.checkpoint.
 """
 
 from __future__ import annotations

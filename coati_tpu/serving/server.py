@@ -99,8 +99,9 @@ class CoatiInferenceServer:
         n_slots: int = 64,
     ):
         """mesh: optional jax.sharding.Mesh — wraps the model in
-        ShardedCOATI (parallel/inference.py) so request batches split
-        over the `data` axis (multi-chip serving; COATI1 models only).
+        ShardedCOATI / ShardedCOATI2 (parallel/inference.py) so request
+        batches split over the `data` axis (multi-chip serving for both
+        model families).
 
         continuous: serve /generate through ContinuousDecoder slot
         pools (n_slots rows per (k, inv_temp) config) instead of
@@ -121,15 +122,14 @@ class CoatiInferenceServer:
         self._continuous = continuous
         self._n_slots = n_slots
         if mesh is not None and mesh.devices.size > 1:
-            if hasattr(model, "hcoati_to_2d_batch"):
-                raise NotImplementedError(
-                    "mesh-sharded serving supports COATI1 models only "
-                    "(ShardedCOATI wraps the clip_e2e surface); serve "
-                    "COATI2 single-device or shard across replicas"
-                )
-            from coati_tpu.parallel.inference import ShardedCOATI
+            from coati_tpu.parallel.inference import ShardedCOATI, ShardedCOATI2
 
-            model = ShardedCOATI(model, mesh)
+            wrap = (
+                ShardedCOATI2
+                if hasattr(model, "hcoati_to_2d_batch")
+                else ShardedCOATI
+            )
+            model = wrap(model, mesh)
         self.frontend = _ModelFrontend(model, tokenizer)
         self.host = host
         self.port = port

@@ -1,0 +1,211 @@
+"""The reference's generation-quality acceptance protocol, end to end
+(VERDICT r3 item 1).
+
+Reference protocol (examples/simple_mol_generation/chembl_analysis.ipynb
+cells 24-26): draw 10 x 1024 samples via
+`complete_batch(["[SET][chembl_mols][SMILES]"]*1024, k=10_000,
+inv_temp=1.75)`, then report fraction-valid, #unique-valid and
+fraction-unique. This script (1) trains a grande-config COATI through
+the REAL pretraining stack until its embeddings actually invert
+(round 3's model greedy-round-tripped 1/554 because the recipe's
+p_clip_emb_smi=0.5 diluted conditioning with random-coords point
+embeddings and p_randsmiles=0.3 made exact-match unmeasurable — this
+run pins EVAL_P_SMI=1, EVAL_P_RAND=0, EVAL_LR=1e-3 and trains longer),
+(2) measures greedy embed->decode round-trip on train AND held-out
+molecules, (3) runs the bulk protocol with validity/uniqueness computed
+by the IN-TREE chemistry (chem/selfies_lite parse for validity — the
+offline stand-in for Chem.MolFromSmiles — and chem/graph_canon
+canonical SMILES for molecule-level uniqueness, stricter than the
+notebook's raw-string set()).
+
+Corpus honesty: the only offline molecule corpus is the 554-molecule
+chembl_pic50 set (the reference trains on millions), so #unique-valid
+is CAPPED near the corpus size in this memorization regime; the JSON
+records the cap and a novelty rate (valid molecules outside the
+training set) so the number is interpretable. tests/test_aux.py pins
+the committed artifact's floors.
+
+Usage: PYTHONPATH=/root/.axon_site:/root/repo \
+    EVAL_P_SMI=1.0 EVAL_P_RAND=0.0 EVAL_LR=1e-3 EVAL_STEPS=10000 \
+    python scripts/eval_generation_quality.py
+Knobs: EVAL_STEPS (default 10000), QUAL_BATCHES (10), QUAL_BATCH (1024),
+    QUAL_K (10000), QUAL_INV_TEMP (1.75), --doc (skip training), --out.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from eval_trained_decode import chembl_smiles, train_model, _valid_proxy  # noqa: E402
+
+N_BATCHES = int(os.environ.get("QUAL_BATCHES", 10))
+BATCH = int(os.environ.get("QUAL_BATCH", 1024))
+TOP_K = int(os.environ.get("QUAL_K", 10_000))
+INV_TEMP = float(os.environ.get("QUAL_INV_TEMP", 1.75))
+HOLDOUT_FRAC = 0.1
+
+
+def split_corpus(smiles):
+    rng = np.random.default_rng(20260819)
+    idx = rng.permutation(len(smiles))
+    n_hold = max(1, int(len(smiles) * HOLDOUT_FRAC))
+    hold = [smiles[i] for i in idx[:n_hold]]
+    train = [smiles[i] for i in idx[n_hold:]]
+    return train, hold
+
+
+def greedy_roundtrip(model, tok, smiles):
+    """fraction of molecules whose SMILES-clip embedding greedy-decodes
+    back to the exact input string (inv_temp 20, k 2 — the established
+    greedy regime from eval_trained_decode.py)."""
+    keep = [
+        s for s in smiles
+        if _valid_proxy(s, tok)
+        and len(tok.tokenize_text("[SMILES]" + s + "[STOP]", pad=False))
+        <= tok.n_seq
+    ]
+    if not keep:
+        return 0.0, 0
+    toks = np.asarray(
+        [tok.tokenize_text("[SMILES]" + s + "[STOP]", pad=True) for s in keep],
+        np.int32,
+    )
+    h = model.encode_tokens(toks, tok)
+    dec = model.hclip_to_2d_batch(h, tok, inv_temp=20.0, k=2)
+    hits = sum(1 for a, b in zip(dec, keep) if a == b)
+    return hits / len(keep), len(keep)
+
+
+def bulk_protocol(model, tok, train_canonical):
+    from coati_tpu.chem.graph_canon import canonical_smiles
+    from coati_tpu.chem.selfies_lite import parse_smiles
+
+    drawn = []
+    for i in range(N_BATCHES):
+        print(f"batch: {i}/{N_BATCHES}", flush=True)
+        drawn.extend(
+            model.complete_batch(
+                ["[SET][chembl_mols][SMILES]" for _ in range(BATCH)],
+                tok,
+                k=TOP_K,
+                inv_temp=INV_TEMP,
+            )
+        )
+
+    valid_drawn = []
+    for d in drawn:
+        try:
+            parse_smiles(d)  # in-tree stand-in for Chem.MolFromSmiles
+            valid_drawn.append(d)
+        except Exception:  # noqa: BLE001
+            pass
+
+    canon = []
+    for d in valid_drawn:
+        try:
+            canon.append(canonical_smiles(d))
+        except Exception:  # noqa: BLE001
+            pass
+    unique_canon = set(canon)
+    novel = unique_canon - train_canonical
+
+    return {
+        "n_samples": len(drawn),
+        "fraction_valid": len(valid_drawn) / max(len(drawn), 1),
+        # the notebook's metrics (cell 26): raw-string uniqueness
+        "n_unique_valid": len(set(valid_drawn)),
+        "fraction_unique": len(set(valid_drawn)) / max(len(valid_drawn), 1),
+        # in-tree molecule-level (canonical) uniqueness — stricter
+        "n_unique_canonical": len(unique_canon),
+        "n_novel_canonical": len(novel),
+        "mean_len": float(np.mean([len(d) for d in drawn])),
+        "example_samples": sorted(unique_canon)[:10],
+    }
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--out", default="docs/eval_generation_quality.json")
+    parser.add_argument("--doc", default=None,
+                        help="skip training, evaluate this document")
+    args = parser.parse_args()
+
+    # inversion-capable recipe unless the caller overrides
+    os.environ.setdefault("EVAL_P_SMI", "1.0")
+    os.environ.setdefault("EVAL_P_RAND", "0.0")
+    os.environ.setdefault("EVAL_LR", "1e-3")
+    steps = int(os.environ.get("EVAL_STEPS", 10_000))
+
+    smiles = chembl_smiles()
+    train, hold = split_corpus(smiles)
+    if args.doc:
+        doc = args.doc
+    else:
+        tmpdir = tempfile.mkdtemp(prefix="coati_qual_")
+        doc, _ = train_model(tmpdir, smiles=train, collection="chembl_mols",
+                             steps=steps)
+        print(f"trained document: {doc}", flush=True)
+
+    from coati_tpu.chem.graph_canon import canonical_smiles
+    from coati_tpu.models.io import load_e3gnn_smiles_clip_e2e
+
+    model, tok = load_e3gnn_smiles_clip_e2e(doc)
+
+    rt_train, n_train = greedy_roundtrip(model, tok, train)
+    rt_hold, n_hold = greedy_roundtrip(model, tok, hold)
+    print(f"greedy round-trip: train {rt_train:.1%} ({n_train}), "
+          f"holdout {rt_hold:.1%} ({n_hold})", flush=True)
+
+    train_canonical = set()
+    for s in train:
+        try:
+            train_canonical.add(canonical_smiles(s))
+        except Exception:  # noqa: BLE001
+            pass
+    bulk = bulk_protocol(model, tok, train_canonical)
+
+    verdict = {
+        "doc": doc,
+        "recipe": {
+            "steps": steps,
+            "p_clip_emb_smi": float(os.environ["EVAL_P_SMI"]),
+            "p_randsmiles": float(os.environ["EVAL_P_RAND"]),
+            "lr": float(os.environ["EVAL_LR"]),
+            "corpus_train": len(train),
+            "corpus_holdout": len(hold),
+            "corpus_cap_note": (
+                "only 554 unique molecules exist offline (chembl_pic50); "
+                "#unique-valid is corpus-capped in this memorization "
+                "regime — the reference trains on millions"
+            ),
+        },
+        "protocol": {
+            "batches": N_BATCHES, "batch_size": BATCH,
+            "k": TOP_K, "inv_temp": INV_TEMP,
+            "reference": "chembl_analysis.ipynb cells 24-26",
+        },
+        "greedy_roundtrip_train": rt_train,
+        "greedy_roundtrip_holdout": rt_hold,
+        "bulk": bulk,
+        "ok": bool(rt_train >= 0.90 and bulk["fraction_valid"] >= 0.85),
+    }
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(verdict, f, indent=2)
+        f.write("\n")
+    print(json.dumps({k: v for k, v in verdict.items()
+                      if k not in ("recipe", "protocol")}, indent=2))
+    print(f"verdict ok={verdict['ok']} -> {args.out}")
+    sys.exit(0 if verdict["ok"] else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -70,9 +70,10 @@ class ChemblDataset:
 
     summary = {"dataset_type": "chembl_pic50_566"}
 
-    def __init__(self, smiles, epoch_rows):
+    def __init__(self, smiles, epoch_rows, collection="geom_drugs"):
         self.smiles = smiles
         self.epoch_rows = epoch_rows
+        self.collection = collection
 
     def get_data_pipe(self, batch_size=8, partition="train",
                       required_fields=(), xform_routine=lambda x: x, **kw):
@@ -87,7 +88,7 @@ class ChemblDataset:
                 n = max(4, min(96, len(smi) // 2 + 4))
                 yield {
                     "smiles": smi,
-                    "source_collection": "geom_drugs",
+                    "source_collection": self.collection,
                     "atoms": rng.integers(1, 9, size=(n,)).astype(np.float64),
                     "coords": rng.normal(size=(n, 3)),
                 }
@@ -98,11 +99,12 @@ class ChemblDataset:
         )
 
 
-def train_model(tmpdir):
+def train_model(tmpdir, smiles=None, collection="geom_drugs", steps=None):
     from coati_tpu.training.config import grande_config
     from coati_tpu.training.logger import COATILogger
     from coati_tpu.training.train import train_autoencoder
 
+    steps = STEPS if steps is None else steps
     config = grande_config(
         data_dir=tmpdir,
         output_dir=os.path.join(tmpdir, "logs"),
@@ -131,11 +133,13 @@ def train_model(tmpdir):
     # 3k steps; the small-model eval (eval_int8_decode.py) conditions
     # fully at 2e-3
     config.lr = float(os.environ.get("EVAL_LR", config.lr))
-    smiles = chembl_smiles()
-    print(f"corpus: {len(smiles)} ChEMBL molecules; grande config "
+    if smiles is None:
+        smiles = chembl_smiles()
+    print(f"corpus: {len(smiles)} molecules; grande config "
           f"{config.n_layer_xformer}x{config.n_hidden_xformer}/"
-          f"{config.n_head}h, {STEPS} steps x batch {config.batch_size}")
-    dataset = ChemblDataset(smiles, epoch_rows=(STEPS + 2) * config.batch_size)
+          f"{config.n_head}h, {steps} steps x batch {config.batch_size}")
+    dataset = ChemblDataset(smiles, epoch_rows=(steps + 2) * config.batch_size,
+                            collection=collection)
     logger = COATILogger(
         model_name="e3gnn_smiles_clip_e2e", output_path=config.output_dir,
         model_path=config.model_dir, args=config.as_dict(), dataset="chembl",
@@ -143,7 +147,7 @@ def train_model(tmpdir):
     logger.start()
     t0 = time.time()
     train_autoencoder(
-        config, dataset, logger=logger, max_steps_per_epoch=STEPS
+        config, dataset, logger=logger, max_steps_per_epoch=steps
     )
     logger.stop()
     print(f"training took {time.time() - t0:.0f}s")

@@ -11,6 +11,13 @@ Runs every TPU-only validation/quality gate and emits ONE JSON verdict:
   bench_smoke     bench.py with BENCH_SKIP_REF=1 (floor thresholds only —
                   the tunnel drifts up to ~25%, so this is a regression
                   tripwire, not a perf measurement)
+  bench_seq250    bench.py at BENCH_SEQ=250 BENCH_BATCH=512 — guards the
+                  long-sequence round trip (flash-prefill path) the
+                  driver bench (seq 96) never exercises; PERF.md
+                  reference 608 mol/s, floor 400 (drift band)
+  coati2_step     bench_train_coati2.py — one real COATI2 grande train
+                  step on TPU; PERF.md reference 687 samples/s/chip,
+                  floor 450 (drift band)
 
 Usage:
     python scripts/verify_tpu.py [--out TPUCHECK.json] [--skip name,...]
@@ -138,6 +145,31 @@ def check_bench():
     return ok, {"bench": result}, out, dt
 
 
+def check_bench_seq250():
+    code, out, dt = run(
+        "bench.py",
+        env_extra={"BENCH_SKIP_REF": "1", "BENCH_SEQ": "250",
+                   "BENCH_BATCH": "512"},
+    )
+    result = None
+    for line in out.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                result = json.loads(line)
+            except json.JSONDecodeError:
+                pass
+    ok = code == 0 and result is not None and result.get("value", 0) >= 400
+    return ok, {"bench": result}, out, dt
+
+
+def check_coati2_step():
+    code, out, dt = run("scripts/bench_train_coati2.py")
+    per_chip = floats(r"\(([0-9.]+) samples/s/chip", out)
+    ok = code == 0 and per_chip and per_chip[0] >= 450
+    return ok, {"samples_per_s_chip": per_chip}, out, dt
+
+
 CHECKS = {
     "pallas_egnn": check_egnn,
     "pallas_decode": check_decode,
@@ -145,6 +177,8 @@ CHECKS = {
     "pallas_packed": check_packed,
     "int8_decode": check_int8,
     "bench_smoke": check_bench,
+    "bench_seq250": check_bench_seq250,
+    "coati2_step": check_coati2_step,
 }
 
 

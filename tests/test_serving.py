@@ -201,6 +201,36 @@ def test_server_over_device_mesh():
         srv.stop()
 
 
+def test_server_coati2_over_device_mesh():
+    """COATI2 + mesh (round 4: previously rejected with
+    NotImplementedError): the server wraps the model in ShardedCOATI2
+    and embeddings match the single-device COATI2."""
+    from coati_tpu.models.coati2 import COATI2, Coati2Config, init_coati2
+    from coati_tpu.parallel.mesh import make_mesh
+
+    tok = TrieTokenizer(n_seq=48, **get_vocab("coati2_12_12"))
+    cfg = Coati2Config(
+        n_layer_xformer=2, n_hidden_xformer=32, embed_dim=32, n_head=2,
+        n_seq=48, enc_to_coati="swiglu_resnet", n_tok=tok.n_token,
+    )
+    model = COATI2(init_coati2(jax.random.PRNGKey(0), cfg), cfg)
+    srv = CoatiInferenceServer(model, tok, port=0, flush_ms=10,
+                               mesh=make_mesh(8))
+    srv.start()
+    try:
+        out = _post(srv, "/embed", {"smiles": ["CCO", "CC", "CCC"]})
+        h = np.asarray(out["embeddings"], np.float32)
+        assert h.shape == (3, 32) and np.isfinite(h).all()
+        ref = np.asarray(model.encode_tokens(
+            np.asarray([tok.tokenize_text("[SMILES]" + s + "[STOP]", pad=True)
+                        for s in ["CCO", "CC", "CCC"]], np.int32), tok))
+        np.testing.assert_allclose(h, ref, atol=2e-5)
+        gen = _post(srv, "/generate", {"embeddings": h.tolist(), "k": 8})
+        assert len(gen["smiles"]) == 3
+    finally:
+        srv.stop()
+
+
 def test_bad_smiles_does_not_poison_cobatched_requests(server):
     """A tokenization failure 400s only its own request while concurrent
     valid requests still succeed."""
