@@ -273,8 +273,46 @@ def _search(
     return best
 
 
+_NATIVE_BUF_CAP = 16384
+
+
+def _try_native(smiles: str, use_chiral: bool, budget: int) -> Optional[str]:
+    """The C pipeline (native/fast_canon.c): byte-identical to the
+    Python path below (fuzz-verified, tests/test_fast_canon.py) at ~30x
+    the cold throughput. Returns None when the C library is unavailable
+    or reports the input unsupported/unparseable — the Python path then
+    decides (and raises EncoderError with proper detail on bad input)."""
+    import ctypes
+
+    from coati_tpu.native import load_fast_canon
+
+    lib = load_fast_canon()
+    if lib is None:
+        return None
+    try:
+        raw = smiles.encode("ascii")
+    except UnicodeEncodeError:
+        return None  # non-ASCII: Python path raises its own error
+    buf = ctypes.create_string_buffer(_NATIVE_BUF_CAP)
+    status = lib.canonical_smiles_native(
+        raw, int(use_chiral), int(budget), buf, _NATIVE_BUF_CAP
+    )
+    if status != 0:
+        return None
+    return buf.value.decode("ascii")
+
+
 @lru_cache(maxsize=200_000)
 def _canonical_cached(smiles: str, use_chiral: bool, budget: int) -> str:
+    native = _try_native(smiles, use_chiral, budget)
+    if native is not None:
+        return native
+    return _canonical_python(smiles, use_chiral, budget)
+
+
+def _canonical_python(smiles: str, use_chiral: bool, budget: int) -> str:
+    """The pure-Python pipeline — the SPEC the C port is fuzz-verified
+    against, and the fallback for unsupported input."""
     # deferred import: aromaticity pulls implicit_hydrogens from here
     from coati_tpu.chem.aromaticity import perceive_aromaticity
 
