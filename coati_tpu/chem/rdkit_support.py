@@ -311,7 +311,6 @@ def _mol_to_morgan_rdkit(
 # ----------------------------------------------------------- 3D / props
 
 
-@works_on_smiles(raise_on_failure=False)
 def mol_to_atoms_coords(
     m,
     hydrogenate: bool = True,
@@ -322,7 +321,42 @@ def mol_to_atoms_coords(
     numThreads: int = 1,
 ):
     """ETKDG conformer embed (+ optional MMFF94s optimize, lowest-energy
-    conformer) -> (atoms, coords[, adjacency][, morgan][, energy])."""
+    conformer) -> (atoms, coords[, adjacency][, morgan][, energy]).
+    Offline (round 4): the in-tree distance-geometry embedder
+    (chem/conformers.py — bounds + triangle smoothing + metrized MDS +
+    refinement) runs for SMILES inputs, so the 3D/point-encoder path
+    works from raw SMILES without rdkit; `optimize` selects the
+    lowest-stress of numConfs embeddings (stress = energy surrogate)."""
+    if not HAS_RDKIT:
+        if not isinstance(m, str):
+            require_rdkit("mol_to_atoms_coords on Mol objects")
+        from coati_tpu.chem.conformers import embed_smiles_to_atoms_coords
+
+        try:
+            return embed_smiles_to_atoms_coords(
+                m, hydrogenate=hydrogenate, adj_matrix=adj_matrix,
+                do_morgan=do_morgan, optimize=optimize, numConfs=numConfs,
+                numThreads=numThreads,
+            )
+        except Exception:  # noqa: BLE001 - mirror raise_on_failure=False
+            return None
+    return _mol_to_atoms_coords_rdkit(
+        m, hydrogenate=hydrogenate, adj_matrix=adj_matrix,
+        do_morgan=do_morgan, optimize=optimize, numConfs=numConfs,
+        numThreads=numThreads,
+    )
+
+
+@works_on_smiles(raise_on_failure=False)
+def _mol_to_atoms_coords_rdkit(
+    m,
+    hydrogenate: bool = True,
+    adj_matrix: bool = False,
+    do_morgan: bool = False,
+    optimize: bool = False,
+    numConfs: int = 1,
+    numThreads: int = 1,
+):
     m3 = Chem.AddHs(m) if hydrogenate else m
     lowest_energy = None
     if optimize and hydrogenate:

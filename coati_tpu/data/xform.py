@@ -20,6 +20,7 @@ multiple (default 16) to bound XLA recompilation.
 
 from __future__ import annotations
 
+import functools as _functools
 import random as _random
 from typing import Dict, Optional
 
@@ -28,6 +29,38 @@ import numpy as np
 from coati_tpu.chem.rdkit_support import canonicalize_or_self, permute_smiles
 from coati_tpu.tokenizers.graph_tokens import adj_mat_to_tokens
 from coati_tpu.tokenizers.trie_tokenizer import TrieTokenizer
+
+
+@_functools.lru_cache(maxsize=50_000)
+def _embed_conformer_cached(smiles: str):
+    from coati_tpu.chem.rdkit_support import mol_to_atoms_coords
+
+    out = mol_to_atoms_coords(smiles, hydrogenate=True)
+    if out is None:
+        return None
+    return np.asarray(out[0], np.int32), np.asarray(out[1], np.float32)
+
+
+def _synthesize_conformers(batch: Dict) -> None:
+    """Fill missing atoms/coords from SMILES via mol_to_atoms_coords
+    (rdkit ETKDG when present, else the in-tree distance-geometry
+    embedder chem/conformers.py; reference datasets precompute these
+    columns with ETKDG, rdkit_utils.py:162-219). Rows that fail to
+    embed get all-padding atoms — the same loss-inert degradation as
+    tokenize failures."""
+    rows = [_embed_conformer_cached(str(s)) for s in batch["smiles"]]
+    n_max = max((r[0].shape[0] for r in rows if r is not None), default=1)
+    b = len(rows)
+    atoms = np.zeros((b, n_max), np.int32)
+    coords = np.zeros((b, n_max, 3), np.float32)
+    for i, r in enumerate(rows):
+        if r is None:
+            continue
+        a, c = r
+        atoms[i, : a.shape[0]] = a
+        coords[i, : c.shape[0]] = c
+    batch["atoms"] = atoms
+    batch["coords"] = coords
 
 
 def _formula_string(atoms_row: np.ndarray) -> str:
@@ -63,7 +96,10 @@ def clip_ar_xform(
     adapter needs this: cached selfies are already canonical
     (clip_e2e_selfies.py:76) and RDKit would happily parse
     bracket-atom selfies AS SMILES and rewrite them."""
-    assert "smiles" in batch and "atoms" in batch and "coords" in batch
+    assert "smiles" in batch
+    if "atoms" not in batch or "coords" not in batch:
+        # SMILES-only rows: synthesize 3D inputs on the fly (round 4)
+        _synthesize_conformers(batch)
     rng = rng or _random
     n_seq = tokenizer.n_seq
     token_rows, s2s_rows = [], []
