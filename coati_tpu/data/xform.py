@@ -41,16 +41,43 @@ def _embed_conformer_cached(smiles: str):
     return np.asarray(out[0], np.int32), np.asarray(out[1], np.float32)
 
 
+def _conformers_missing(batch: Dict) -> bool:
+    """True when any row lacks 3D inputs. stack_batch (batch_pipe.py:49)
+    ALWAYS emits 'atoms'/'coords' columns — SMILES-only rows arrive as
+    present-but-EMPTY (B, 0) arrays, and a mixed batch zero-fills the
+    atom-less rows — so a key-presence check is not enough. (An
+    all-zero-atom batch reaching the model is catastrophic, not inert:
+    the EGNN masked-pools nothing, h_e3gnn is row-constant, and the
+    CLIP loss floors at exactly ln(B) while its weighted noise gradient
+    collapses the SMILES encoder — the round-3 1/554 round-trip.)"""
+    if "atoms" not in batch or "coords" not in batch:
+        return True
+    atoms = np.asarray(batch["atoms"])
+    if atoms.ndim != 2 or atoms.shape[-1] == 0:
+        return True
+    return not (atoms > 0).any(axis=-1).all()
+
+
 def _synthesize_conformers(batch: Dict) -> None:
     """Fill missing atoms/coords from SMILES via mol_to_atoms_coords
     (rdkit ETKDG when present, else the in-tree distance-geometry
     embedder chem/conformers.py; reference datasets precompute these
-    columns with ETKDG, rdkit_utils.py:162-219). Rows that fail to
-    embed get all-padding atoms — the same loss-inert degradation as
-    tokenize failures."""
-    rows = [_embed_conformer_cached(str(s)) for s in batch["smiles"]]
+    columns with ETKDG, rdkit_utils.py:162-219). Rows that already
+    carry atoms keep them; rows that fail to embed get all-padding
+    atoms — the same loss-inert degradation as tokenize failures."""
+    b = len(batch["smiles"])
+    old_a = old_c = None
+    if "atoms" in batch and np.asarray(batch["atoms"]).ndim == 2 \
+            and np.asarray(batch["atoms"]).shape[-1] > 0:
+        old_a = np.asarray(batch["atoms"])
+        old_c = np.asarray(batch["coords"])
+    rows = []
+    for i, s in enumerate(batch["smiles"]):
+        if old_a is not None and (old_a[i] > 0).any():
+            rows.append((old_a[i], old_c[i]))
+        else:
+            rows.append(_embed_conformer_cached(str(s)))
     n_max = max((r[0].shape[0] for r in rows if r is not None), default=1)
-    b = len(rows)
     atoms = np.zeros((b, n_max), np.int32)
     coords = np.zeros((b, n_max, 3), np.float32)
     for i, r in enumerate(rows):
@@ -97,8 +124,9 @@ def clip_ar_xform(
     (clip_e2e_selfies.py:76) and RDKit would happily parse
     bracket-atom selfies AS SMILES and rewrite them."""
     assert "smiles" in batch
-    if "atoms" not in batch or "coords" not in batch:
-        # SMILES-only rows: synthesize 3D inputs on the fly (round 4)
+    if _conformers_missing(batch):
+        # SMILES-only (or mixed) rows: synthesize 3D inputs on the fly
+        # (round 4)
         _synthesize_conformers(batch)
     rng = rng or _random
     n_seq = tokenizer.n_seq

@@ -7,10 +7,12 @@ cells 24-26): draw 10 x 1024 samples via
 inv_temp=1.75)`, then report fraction-valid, #unique-valid and
 fraction-unique. This script (1) trains a grande-config COATI through
 the REAL pretraining stack until its embeddings actually invert
-(round 3's model greedy-round-tripped 1/554 because the recipe's
-p_clip_emb_smi=0.5 diluted conditioning with random-coords point
-embeddings and p_randsmiles=0.3 made exact-match unmeasurable — this
-run pins EVAL_P_SMI=1, EVAL_P_RAND=0, EVAL_LR=1e-3 and trains longer),
+(round 3's model greedy-round-tripped 1/554 for TWO now-fixed reasons:
+stack_batch handed the xform empty (B, 0) atom columns so the EGNN saw
+zero atoms and the 13.7x-weighted CLIP noise collapsed the encoder —
+see data/xform.py _conformers_missing — and the eval compared decoded
+CANONICAL strings against raw corpus strings; this run pins
+EVAL_P_SMI=1, EVAL_P_RAND=0, EVAL_LR=1e-3 and trains longer),
 (2) measures greedy embed->decode round-trip on train AND held-out
 molecules, (3) runs the bulk protocol with validity/uniqueness computed
 by the IN-TREE chemistry (chem/selfies_lite parse for validity — the
@@ -64,8 +66,13 @@ def split_corpus(smiles):
 
 def greedy_roundtrip(model, tok, smiles):
     """fraction of molecules whose SMILES-clip embedding greedy-decodes
-    back to the exact input string (inv_temp 20, k 2 — the established
-    greedy regime from eval_trained_decode.py)."""
+    back to the SAME MOLECULE (inv_temp 20, k 2 — the established
+    greedy regime from eval_trained_decode.py). Identity is graph-level
+    (canonical SMILES equality, the reference's identical_canonsmi
+    semantics, rdkit_utils.py:88-96): the model is trained on
+    CANONICALIZED targets, so it correctly emits the canonical writing
+    while the corpus stores an arbitrary one — a raw string compare
+    scored those inversions 0 (the round-3/round-4 '1/554' artifact)."""
     keep = [
         s for s in smiles
         if _valid_proxy(s, tok)
@@ -80,7 +87,9 @@ def greedy_roundtrip(model, tok, smiles):
     )
     h = model.encode_tokens(toks, tok)
     dec = model.hclip_to_2d_batch(h, tok, inv_temp=20.0, k=2)
-    hits = sum(1 for a, b in zip(dec, keep) if a == b)
+    from eval_trained_decode import _same_mol
+
+    hits = sum(1 for a, b in zip(dec, keep) if _same_mol(a, b))
     return hits / len(keep), len(keep)
 
 

@@ -63,10 +63,23 @@ def chembl_smiles():
 
 
 class ChemblDataset:
-    """566 real ChEMBL molecules through the real batch pipe; conformer
-    fields are synthetic passthrough arrays (rdkit absent — their
-    generation belongs to dataset preprocessing, not this eval; the
-    SMILES/tokenizer/augmentation path is the real thing)."""
+    """566 real ChEMBL molecules through the real batch pipe. Rows carry
+    SMILES only; the xform synthesizes REAL conformers via the in-tree
+    distance-geometry embedder (data/xform.py _synthesize_conformers,
+    LRU-cached per unique molecule — round 4). The round-3 1/554
+    greedy-round-trip had two causes, both fixed in round 4: (1) this
+    dataset fabricated random atoms/coords, so the point-encoder side
+    of the CLIP pair was pure noise and the contrastive loss sat at
+    chance (ln B) for the whole run (the SMILES-only replacement then
+    exposed a second form of the same defect: stack_batch emits EMPTY
+    (B, 0) atom columns which the xform's old key-presence guard
+    missed — see _conformers_missing); (2) the round-trip compare was
+    raw-string while the model correctly emits CANONICAL SMILES — see
+    _same_mol.
+
+    Sampling is without replacement per epoch (shuffled corpus passes):
+    with-replacement batches of 160 from 499 molecules carry ~25
+    duplicate pairs, which InfoNCE treats as false negatives."""
 
     summary = {"dataset_type": "chembl_pic50_566"}
 
@@ -83,14 +96,13 @@ class ChemblDataset:
         smiles = self.smiles
 
         def rows():
+            order = []
             for i in range(self.epoch_rows):
-                smi = smiles[rng.integers(0, len(smiles))]
-                n = max(4, min(96, len(smi) // 2 + 4))
+                if not order:
+                    order = list(rng.permutation(len(smiles)))
                 yield {
-                    "smiles": smi,
+                    "smiles": smiles[order.pop()],
                     "source_collection": self.collection,
-                    "atoms": rng.integers(1, 9, size=(n,)).astype(np.float64),
-                    "coords": rng.normal(size=(n, 3)),
                 }
 
         return batch_rows(
@@ -133,6 +145,11 @@ def train_model(tmpdir, smiles=None, collection="geom_drugs", steps=None):
     # 3k steps; the small-model eval (eval_int8_decode.py) conditions
     # fully at 2e-3
     config.lr = float(os.environ.get("EVAL_LR", config.lr))
+    # memorization-regime knob: the recipe's wd=0.1 shrinks weights by
+    # ~e^-1 over a 10k-step inversion run; EVAL_WD=0 removes the cap
+    config.weight_decay = float(
+        os.environ.get("EVAL_WD", config.weight_decay)
+    )
     if smiles is None:
         smiles = chembl_smiles()
     print(f"corpus: {len(smiles)} molecules; grande config "
@@ -167,6 +184,17 @@ def _valid_proxy(s: str, tokenizer) -> bool:
         return False
     digits = [c for c in s if c.isdigit()]
     return all(digits.count(d) % 2 == 0 for d in set(digits))
+
+
+def _same_mol(a: str, b: str) -> bool:
+    """Graph-level identity (canonical SMILES equality, the reference's
+    identical_canonsmi); unparseable decodes count as misses."""
+    from coati_tpu.chem.rdkit_support import identical_canonsmi
+
+    try:
+        return bool(identical_canonsmi(a, b))
+    except Exception:  # noqa: BLE001 - garbage decode
+        return a == b
 
 
 def evaluate(doc_path, smiles, out_path):
@@ -226,10 +254,14 @@ def evaluate(doc_path, smiles, out_path):
             )
             return np.asarray(out)
 
-        # greedy round-trip
+        # greedy round-trip — graph-level identity (canonical SMILES
+        # equality): the model is trained on canonicalized targets, so
+        # it emits the canonical writing while the corpus stores an
+        # arbitrary one; a raw string compare scores those inversions 0
         out = gen(inj, 7, k=2, inv_temp=20.0)
         dec = tok.decode_batch(out[:, len(prefix):], special=False)
-        roundtrip = float(np.mean([a == b_ for a, b_ in zip(dec, keep)]))
+        roundtrip = float(np.mean([_same_mol(a, b_)
+                                   for a, b_ in zip(dec, keep)]))
 
         # production-regime sampling statistics
         sout = gen(inj[jnp.asarray(sample_idx)], 11, k=100, inv_temp=2.0)

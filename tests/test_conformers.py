@@ -144,6 +144,53 @@ def test_xform_smiles_only_rows():
     assert out["tokens"].shape[0] == 3
 
 
+def test_batch_pipe_smiles_only_rows_get_conformers():
+    """REGRESSION (round 4): stack_batch ALWAYS emits atoms/coords
+    columns — SMILES-only rows arrive at the xform as present-but-empty
+    (B, 0) arrays, which the old key-presence guard missed. The
+    trainer then fed all-zero atoms to the EGNN: h_e3gnn was
+    row-constant, the CLIP loss floored at exactly ln(B), and its
+    weighted noise gradient collapsed the SMILES encoder (the round-3
+    1/554 greedy round-trip). Assert the trainer's exact path
+    (batch_rows -> stack_batch -> clip_ar_xform) produces real
+    conformers, and that a mixed batch keeps precomputed rows."""
+    from coati_tpu.data.batch_pipe import batch_rows, stack_batch
+    from coati_tpu.data.xform import clip_ar_xform
+    from coati_tpu.tokenizers import get_vocab
+    from coati_tpu.tokenizers.trie_tokenizer import TrieTokenizer
+
+    tok = TrieTokenizer(n_seq=64, **get_vocab("mar"))
+
+    def xform(batch):
+        return clip_ar_xform(batch, tok, p_clip=1.0, p_dataset=0.0,
+                             p_formula=0.0)
+
+    rows = [{"smiles": s, "source_collection": "chembl_mols"}
+            for s in ("CCO", "c1ccccc1", "CC(=O)O", "CCN")]
+    batches = list(batch_rows(iter(rows), batch_size=4, partition="raw",
+                              xform_routine=xform,
+                              required_fields=["smiles"]))
+    assert len(batches) == 1
+    out = batches[0]
+    assert out["atoms"].shape[1] > 0
+    assert (out["atoms"] > 0).any(axis=1).all()
+    # CCO with hydrogens = 9 atoms; row alignment with smiles holds
+    assert int((out["atoms"][0] > 0).sum()) == 9
+
+    # mixed batch: a row with precomputed coords keeps them verbatim
+    pre_atoms = np.array([6, 6, 8], np.int64)
+    pre_coords = np.array([[0.0, 0, 0], [1.5, 0, 0], [2.2, 1.1, 0]])
+    mixed = stack_batch([
+        {"smiles": "CCO", "atoms": pre_atoms, "coords": pre_coords},
+        {"smiles": "CCN"},
+    ])
+    out = xform(dict(mixed, source_collection=["x", "x"]))
+    n0 = int((out["atoms"][0] > 0).sum())
+    assert n0 == 3  # precomputed row untouched (not re-embedded to 9)
+    np.testing.assert_allclose(out["coords"][0, :3], pre_coords, atol=0)
+    assert (out["atoms"][1] > 0).sum() > 3  # synthesized row is real
+
+
 def test_egnn_consumes_generated_coords():
     """E(3) invariance of the point encoder on DG-generated coords —
     rotating/translating a generated conformer must not change the
