@@ -39,6 +39,7 @@ tests/test_continuous.py.
 
 from __future__ import annotations
 
+import functools
 import threading
 from dataclasses import dataclass
 from typing import Dict, List, Optional
@@ -62,11 +63,19 @@ from coati_tpu.ops.sampling import sample_top_k
 
 @struct.dataclass
 class PoolState:
-    """Device-resident slot pool. Row N_SLOTS is a spare scratch row
-    (kept never-live as a safety margin for future padded admissions).
-    `lpos` is each row's LOGICAL position (index of `cur` in its own
-    sequence); `clock` is the global ring cursor (mod ring width) —
-    ring slot (clock) is where the NEXT step writes every row's K/V."""
+    """Device-resident slot pool (LIGHT fields — tens of KB). Row
+    N_SLOTS is a spare scratch row (kept never-live as a safety margin
+    for future padded admissions). `lpos` is each row's LOGICAL
+    position (index of `cur` in its own sequence); `clock` is the
+    global ring cursor (mod ring width) — ring slot (clock) is where
+    the NEXT step writes every row's K/V.
+
+    The big KV ring buffer lives OUTSIDE this struct (engine.cache) so
+    the jitted programs can donate it alone: the light fields come back
+    as fresh buffers every segment, which lets the host keep references
+    to the PREVIOUS segment's tokens/live/lpos and harvest them while
+    the next segment computes (the round-4 pipelined tick — the ~29 ms
+    harvest sync no longer serializes with device work)."""
 
     tokens: jnp.ndarray  # (S+1, W_out) int32
     lpos: jnp.ndarray  # (S+1,) int32
@@ -74,7 +83,6 @@ class PoolState:
     live: jnp.ndarray  # (S+1,) bool
     row_max: jnp.ndarray  # (S+1,) int32 — per-request length budget
     clock: jnp.ndarray  # scalar int32, in [0, W_ring)
-    cache: KVCache  # width W_ring ring buffer
     rng: jax.Array
 
 
@@ -109,11 +117,24 @@ class ContinuousDecoder:
         k: int = 100,
         inv_temp: float = 2.0,
         segment_len: int = 48,
+        segment_len_hot: Optional[int] = 16,
+        pipeline: bool = True,
         seed: int = 0,
         inj_transform=None,
         inj_dim: Optional[int] = None,
     ):
-        """inj_dim: raw injection width as submitted (defaults to the
+        """segment_len_hot: shorter segment program used while requests
+        are still WAITING for a slot (admission latency: a waiting
+        request gets its slot at the next boundary, so boundaries come
+        4x sooner under queue pressure; the full segment_len runs when
+        the queue is drained). None disables the second program.
+
+        pipeline: dispatch segment i+1 before harvesting segment i's
+        results (the host-side transfer then overlaps device compute;
+        a finished row is returned one segment boundary later, which
+        the 4x-shorter hot segments more than pay back).
+
+        inj_dim: raw injection width as submitted (defaults to the
         model width; set when inj_transform changes it — warmup() needs
         the pre-transform shape).
 
@@ -136,6 +157,8 @@ class ContinuousDecoder:
         self.k = k
         self.inv_temp = inv_temp
         self.segment_len = segment_len
+        self.segment_len_hot = segment_len_hot
+        self.pipeline = pipeline
         self.inj_transform = inj_transform
         self.inj_dim = inj_dim
         assert len(self.prefix) >= 1 and len(self.prefix) < self.w
@@ -145,8 +168,9 @@ class ContinuousDecoder:
         )
         # ring width: a row's oldest key reaches overwrite age exactly
         # when the row is past its maximum lifetime; one segment of
-        # slack + 16-alignment
-        self.w_ring = ((self.w + segment_len + 15) // 16) * 16
+        # slack (the longest compiled segment) + 16-alignment
+        slack = max(segment_len, segment_len_hot or 0)
+        self.w_ring = ((self.w + slack + 15) // 16) * 16
 
         s = n_slots + 1  # + scratch row
         self.state = PoolState(
@@ -156,32 +180,42 @@ class ContinuousDecoder:
             live=jnp.zeros((s,), bool),
             row_max=jnp.full((s,), self.w, jnp.int32),
             clock=jnp.zeros((), jnp.int32),
-            cache=make_empty_cache(cfg, s, width=self.w_ring),
             rng=jax.random.PRNGKey(seed),
         )
+        # the KV ring lives outside PoolState: it is the ONLY donated
+        # buffer, so light fields stay valid for the deferred harvest
+        self.cache: KVCache = make_empty_cache(cfg, s, width=self.w_ring)
         self._free: List[int] = list(range(n_slots))
         self._slot_req: Dict[int, _Request] = {}
         self._pending: List[_Request] = []
         self._done: Dict[int, _Request] = {}
         self._next_rid = 0
         self._lock = threading.Lock()  # guards _pending/_done/_next_rid
-        self._segment = jax.jit(self._segment_fn, donate_argnums=(0,))
+        self._segment_jits: Dict[int, object] = {}
         self._admit_cache: Dict[int, object] = {}
+        # deferred-harvest snapshot: (live, lpos, tokens) of the last
+        # dispatched segment's OUTPUT (fresh, never-donated buffers)
+        self._snap = None
+        # EMA of the fraction of active slots that finish per harvest —
+        # steers the pipeline/sync decision in step(). Starts at 1.0
+        # (assume short generations): sequential harvesting is the safe
+        # default, and one low-rate harvest flips it toward pipelining.
+        self._finish_rate = 1.0
 
     # ----------------------------------------------------------- device
 
-    def _segment_fn(self, state: PoolState) -> PoolState:
+    def _segment_fn(self, cache: KVCache, state: PoolState, seg_len: int):
         w = self.w
         rows = jnp.arange(state.tokens.shape[0])
 
         def cond(carry):
-            i, st = carry
-            return (i < self.segment_len) & jnp.any(st.live)
+            i, _, st = carry
+            return (i < seg_len) & jnp.any(st.live)
 
         def body(carry):
-            i, st = carry
+            i, cache, st = carry
             logits, cache = decode_step_ring(
-                self.params, self.cfg, st.cur, st.lpos, st.clock, st.cache
+                self.params, self.cfg, st.cur, st.lpos, st.clock, cache
             )
             rng, sub = jax.random.split(st.rng)
             nxt = sample_top_k(
@@ -197,17 +231,28 @@ class ContinuousDecoder:
             live = can & (nxt != self.stop_token)
             lpos = jnp.where(can, st.lpos + 1, st.lpos)
             cur = jnp.where(can, nxt, st.cur)
-            return i + 1, PoolState(
+            return i + 1, cache, PoolState(
                 tokens=tokens, lpos=lpos, cur=cur, live=live,
                 row_max=st.row_max,
                 clock=jnp.mod(st.clock + 1, self.w_ring),
-                cache=cache, rng=rng,
+                rng=rng,
             )
 
-        _, state = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
-        return state
+        _, cache, state = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), cache, state)
+        )
+        return cache, state
 
-    def _admit_fn(self, state: PoolState, slots, inj, row_max):
+    def _segment_jit(self, seg_len: int):
+        if seg_len not in self._segment_jits:
+            self._segment_jits[seg_len] = jax.jit(
+                functools.partial(self._segment_fn, seg_len=seg_len),
+                donate_argnums=(0,),  # cache only — light fields stay valid
+            )
+        return self._segment_jits[seg_len]
+
+    def _admit_fn(self, pool_cache: KVCache, state: PoolState, slots, inj,
+                  row_max):
         """Prefill `g` new rows on the common prefix with per-row
         injection and scatter them into the pool (g static per
         admission-bucket size — groups are sized to powers of two, so
@@ -248,25 +293,26 @@ class ContinuousDecoder:
         # place the prefix K/V at the ring slots of the p clocks
         # PRECEDING the next step: logical j lands at age p - j
         cols = jnp.mod(state.clock - p + jnp.arange(p), self.w_ring)
-        data = state.cache.data.at[:, :, slots[:, None], cols[None, :]].set(
-            cache.data[:, :, :, :p].astype(state.cache.data.dtype)
+        data = pool_cache.data.at[:, :, slots[:, None], cols[None, :]].set(
+            cache.data[:, :, :, :p].astype(pool_cache.data.dtype)
         )
-        scale = state.cache.scale
+        scale = pool_cache.scale
         if scale is not None:
             scale = scale.at[:, :, slots[:, None], cols[None, :]].set(
                 cache.scale[:, :, :, :p].astype(scale.dtype)
             )
         # scratch row is never live, whatever was scattered into it
         st_live = st_live.at[self.n_slots].set(False)
-        return PoolState(
+        return KVCache(data=data, scale=scale), PoolState(
             tokens=st_tokens, lpos=st_lpos, cur=st_cur, live=st_live,
-            row_max=st_row_max, clock=state.clock,
-            cache=KVCache(data=data, scale=scale), rng=rng,
+            row_max=st_row_max, clock=state.clock, rng=rng,
         )
 
     def _admit_jit(self, g: int):
         if g not in self._admit_cache:
-            self._admit_cache[g] = jax.jit(self._admit_fn, donate_argnums=(0,))
+            self._admit_cache[g] = jax.jit(
+                self._admit_fn, donate_argnums=(0,)  # pool cache only
+            )
         return self._admit_cache[g]
 
     # ------------------------------------------------------------- host
@@ -318,22 +364,42 @@ class ContinuousDecoder:
                 np.stack([r.injection for r in batch]), self.cfg.compute_dtype
             )
             row_max = jnp.asarray([r.max_len for r in batch], jnp.int32)
-            self.state = self._admit_jit(g)(
-                self.state, jnp.asarray(slots, jnp.int32), inj, row_max
+            self.cache, self.state = self._admit_jit(g)(
+                self.cache, self.state, jnp.asarray(slots, jnp.int32), inj,
+                row_max,
             )
 
-    def _harvest(self):
+    def _harvest(self, snap=None):
         # ONE fixed-shape transfer for everything ((S, W) int32 tokens
         # are ~65 KB): the tunnel charges ~29 ms per host sync, and a
         # variable-length `tokens[finished]` gather compiles a NEW tiny
         # program per distinct finished-count — one such first-hit
-        # mid-load measured as a 13 s straggler
-        live, pos, tokens = jax.device_get(
-            (self.state.live, self.state.lpos, self.state.tokens)
-        )
+        # mid-load measured as a 13 s straggler. In pipelined mode
+        # `snap` holds the PREVIOUS segment's output arrays plus the
+        # slot set occupied AT SNAPSHOT TIME, so this transfer overlaps
+        # the segment the device is computing now.
+        if snap is None:
+            arrays = (self.state.live, self.state.lpos, self.state.tokens)
+            snap_slots = set(self._slot_req)
+        else:
+            arrays = snap[:3]
+            # slots admitted AFTER the snapshot have stale live=False
+            # in it — restricting to the snapshot's own slot set keeps
+            # a just-admitted request from being reaped with old tokens
+            snap_slots = snap[3]
+        live, pos, tokens = jax.device_get(arrays)
+        # a slot finished in the snapshot is dead in every later state
+        # (dead rows never revive) and its token row is frozen, so
+        # harvesting one boundary late is exact
         finished = [
-            s for s, r in list(self._slot_req.items()) if not live[s]
+            s for s, r in list(self._slot_req.items())
+            if s in snap_slots and not live[s]
         ]
+        active = sum(1 for s in self._slot_req if s in snap_slots)
+        if active:
+            self._finish_rate = 0.5 * self._finish_rate + 0.5 * (
+                len(finished) / active
+            )
         if not finished:
             return
         with self._lock:
@@ -358,28 +424,75 @@ class ContinuousDecoder:
                 g *= 2
         d_in = self.inj_dim or self.cfg.n_embd
         for g in group_sizes:
-            clone = jax.tree_util.tree_map(jnp.copy, self.state)
+            cache_c = jax.tree_util.tree_map(jnp.copy, self.cache)
             inj = jnp.zeros((g, d_in), self.cfg.compute_dtype)
-            out = self._admit_jit(g)(
-                clone, jnp.arange(g, dtype=jnp.int32), inj,
+            _, out = self._admit_jit(g)(
+                cache_c, self.state, jnp.arange(g, dtype=jnp.int32), inj,
                 jnp.full((g,), self.w, jnp.int32),
             )
             np.asarray(out.live)
-        clone = jax.tree_util.tree_map(jnp.copy, self.state)
-        clone = clone.replace(live=clone.live.at[0].set(True))
-        np.asarray(self._segment(clone).live)
+        seg_lens = [self.segment_len]
+        if self.segment_len_hot and self.segment_len_hot != self.segment_len:
+            seg_lens.append(self.segment_len_hot)
+        for sl in seg_lens:
+            cache_c = jax.tree_util.tree_map(jnp.copy, self.cache)
+            clone = self.state.replace(live=self.state.live.at[0].set(True))
+            _, out = self._segment_jit(sl)(cache_c, clone)
+            np.asarray(out.live)
 
     def step(self):
-        """One engine tick: admit -> one decode segment -> harvest."""
+        """One engine tick: admit -> dispatch one decode segment ->
+        harvest. Pipelined (default): the harvest reads the PREVIOUS
+        segment's output while the device computes the new one, so the
+        ~29 ms host transfer no longer serializes with device work.
+        The segment length adapts to queue pressure: requests still
+        waiting for a slot get boundaries `segment_len_hot` tokens
+        apart instead of `segment_len`.
+
+        ADAPTIVE harvest order: a deferred harvest returns finished
+        rows one boundary late, which idles their slots for a whole
+        extra segment. When generations are short (most active rows
+        finish every segment) AND requests are queued for those slots,
+        that idle time dominates the ~29 ms sync the pipeline saves —
+        measured 0.40x vs drain-batching on a short-generation load.
+        So when the finish-rate EMA says recycling is the bottleneck,
+        harvest the outstanding snapshot BEFORE dispatching and admit
+        into the freed slots this tick (the round-3 sequential order);
+        pipeline otherwise (the long-tail regime, where it measures
+        1.08x throughput / 0.60x p50 vs drain)."""
         self._admit_pending()
+        with self._lock:
+            queued = bool(self._pending)
+        if self._snap is not None and queued and self._finish_rate > 0.25:
+            snap, self._snap = self._snap, None
+            self._harvest(snap)
+            self._admit_pending()  # reuse freed slots THIS segment
+        dispatched = False
         if self._slot_req:
-            self.state = self._segment(self.state)
-        self._harvest()
+            with self._lock:
+                hot = bool(self._pending) and bool(self.segment_len_hot)
+            seg = self.segment_len_hot if hot else self.segment_len
+            self.cache, self.state = self._segment_jit(seg)(
+                self.cache, self.state
+            )
+            dispatched = True
+        if self._snap is not None:
+            snap, self._snap = self._snap, None
+            self._harvest(snap)
+        if dispatched and self.pipeline:
+            # light fields are fresh (never-donated) buffers: safe to
+            # hold across the next tick's admissions/segment; the slot
+            # set is captured NOW (slots admitted later are excluded)
+            self._snap = (self.state.live, self.state.lpos,
+                          self.state.tokens, set(self._slot_req))
+        else:
+            self._harvest()
 
     def run_until_done(self, max_segments: int = 10_000):
         """Drain everything queued/in-flight; returns {rid: tokens}."""
         n = 0
-        while (self._pending or self._slot_req) and n < max_segments:
+        while (self._pending or self._slot_req or self._snap is not None) \
+                and n < max_segments:
             self.step()
             n += 1
         return self.results()

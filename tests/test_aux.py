@@ -143,3 +143,21 @@ def test_dryrun_multichip_bare_invocation():
     for strategy in ("dp x tp OK", "fsdp OK", "dp x pp OK", "dp x sp OK",
                      "dp x ep OK"):
         assert strategy in out.stdout, out.stdout
+
+
+def test_generation_quality_artifact_floors():
+    """Pins the committed generation-quality verdict (VERDICT r3 item 1
+    done-criterion: the reference's bulk acceptance protocol,
+    chembl_analysis.ipynb cell 26, run on a model that inverts its own
+    embeddings). Regenerate with scripts/eval_generation_quality.py."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(repo, "docs", "eval_generation_quality.json")
+    if not os.path.exists(path):
+        pytest.skip("artifact not generated yet")
+    with open(path) as f:
+        v = json.load(f)
+    assert v["ok"] is True
+    assert v["greedy_roundtrip_train"] >= 0.90
+    assert v["bulk"]["fraction_valid"] >= 0.85
+    assert v["bulk"]["n_samples"] >= 10_000
+    assert v["bulk"]["n_unique_canonical"] >= 100
