@@ -93,6 +93,32 @@ def greedy_roundtrip(model, tok, smiles):
     return hits / len(keep), len(keep)
 
 
+def _property_stats(smiles_list):
+    """Mean/std QED and Crippen MolLogP over a molecule set via the
+    in-tree chemistry (chem/qed.py, chem/crippen.py) — the reference
+    notebook scores its generations with rdkit.Chem.QED.qed and
+    Crippen.MolLogP (chembl_analysis.ipynb 'properties' cell)."""
+    from coati_tpu.chem.crippen import mol_logp
+    from coati_tpu.chem.qed import qed
+
+    qeds, logps = [], []
+    for s in smiles_list:
+        try:
+            qeds.append(qed(s))
+            logps.append(mol_logp(s))
+        except Exception:  # noqa: BLE001
+            pass
+    if not qeds:
+        return {"n_scored": 0}
+    return {
+        "n_scored": len(qeds),
+        "qed_mean": float(np.mean(qeds)),
+        "qed_std": float(np.std(qeds)),
+        "logp_mean": float(np.mean(logps)),
+        "logp_std": float(np.std(logps)),
+    }
+
+
 def bulk_protocol(model, tok, train_canonical):
     from coati_tpu.chem.graph_canon import canonical_smiles
     from coati_tpu.chem.selfies_lite import parse_smiles
@@ -129,6 +155,10 @@ def bulk_protocol(model, tok, train_canonical):
     return {
         "n_samples": len(drawn),
         "fraction_valid": len(valid_drawn) / max(len(drawn), 1),
+        # generated-set property profile vs the training corpus (the
+        # reference notebook's QED/MolLogP analysis, in-tree chemistry)
+        "properties_generated": _property_stats(sorted(unique_canon)),
+        "properties_corpus": _property_stats(sorted(train_canonical)),
         # the notebook's metrics (cell 26): raw-string uniqueness
         "n_unique_valid": len(set(valid_drawn)),
         "fraction_unique": len(set(valid_drawn)) / max(len(valid_drawn), 1),

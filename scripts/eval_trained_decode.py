@@ -79,7 +79,14 @@ class ChemblDataset:
 
     Sampling is without replacement per epoch (shuffled corpus passes):
     with-replacement batches of 160 from 499 molecules carry ~25
-    duplicate pairs, which InfoNCE treats as false negatives."""
+    duplicate pairs, which InfoNCE treats as false negatives. Each pass
+    is also truncated to a multiple of the batch size so batches never
+    STRADDLE two passes — a straddling batch draws its head from the
+    tail of pass k and its body from a fresh permutation, re-sampling
+    ~batch*tail/corpus molecules twice; duplicated rows have identical
+    conformer embeddings, so InfoNCE is pushed above its ln(B) floor on
+    every straddling batch (~1 in 3 at batch 160 over 499 molecules —
+    the reference never sees this regime, its corpus is millions)."""
 
     summary = {"dataset_type": "chembl_pic50_566"}
 
@@ -94,12 +101,16 @@ class ChemblDataset:
 
         rng = np.random.default_rng(0 if partition == "train" else 1)
         smiles = self.smiles
+        # rows per shuffled pass, rounded down to whole batches so no
+        # batch straddles two passes (see class docstring); corpora
+        # smaller than one batch can't avoid in-batch duplicates.
+        per_pass = max(len(smiles) // batch_size, 1) * batch_size
 
         def rows():
             order = []
             for i in range(self.epoch_rows):
                 if not order:
-                    order = list(rng.permutation(len(smiles)))
+                    order = list(rng.permutation(len(smiles))[:per_pass])
                 yield {
                     "smiles": smiles[order.pop()],
                     "source_collection": self.collection,

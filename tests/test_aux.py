@@ -145,6 +145,34 @@ def test_dryrun_multichip_bare_invocation():
         assert strategy in out.stdout, out.stdout
 
 
+def test_eval_corpus_batches_never_straddle_passes():
+    """The quality-eval ChemblDataset must never emit a batch containing
+    the same molecule twice: duplicated rows have identical conformer
+    embeddings, which InfoNCE treats as false negatives and which pin
+    the clip loss above its ln(B) floor on every poisoned batch. Batches
+    straddling two shuffled corpus passes were the one source of
+    in-batch duplicates (~1 in 3 batches at batch 160 over 499
+    molecules); each pass is now truncated to whole batches."""
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "scripts"))
+    try:
+        from eval_trained_decode import ChemblDataset
+    finally:
+        sys.path.pop(0)
+
+    corpus = [f"{'C' * (i + 1)}" for i in range(10)]  # 10 unique molecules
+    ds = ChemblDataset(corpus, epoch_rows=25 * 4, collection="chembl_mols")
+    pipe = ds.get_data_pipe(batch_size=4, xform_routine=lambda rows: rows)
+    n_batches = 0
+    for batch in pipe:
+        smis = list(batch["smiles"])
+        assert len(set(smis)) == len(smis), f"duplicate in batch: {smis}"
+        n_batches += 1
+    assert n_batches >= 20
+
+
 def test_generation_quality_artifact_floors():
     """Pins the committed generation-quality verdict (VERDICT r3 item 1
     done-criterion: the reference's bulk acceptance protocol,
