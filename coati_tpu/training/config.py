@@ -73,6 +73,12 @@ class TrainConfig:
     weight_decay: float = 0.1
     lr: float = 4e-4
     clip_grad: float = 10.0
+    # linear per-step LR warmup over this many steps (0 = off, the
+    # reference recipe: torch CosineAnnealingLR has no warmup,
+    # train_coati.py:152). Used by the small-corpus eval recipes, where
+    # a full-lr first step overshoots the InfoNCE init saddle (see
+    # train.py warmup comment).
+    lr_warmup_steps: int = 0
     do_clip: bool = True
 
     test_frac: float = 0.02

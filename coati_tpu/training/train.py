@@ -575,6 +575,24 @@ def train_autoencoder(
             )
             rng, step_rng = jax.random.split(rng)
             bsz = batch["tokens"].shape[0]
+            if (
+                partition == "train"
+                and config.lr_warmup_steps
+                and global_step < config.lr_warmup_steps
+            ):
+                # linear per-step LR warmup (off by default — the
+                # reference recipe has none). At init the InfoNCE
+                # embeddings sit near a collapsed saddle (deep residual
+                # towers map everything to almost one direction); a
+                # full-lr first step overshoots INTO the saddle, where
+                # the clip gradient is ~0 and escape is erratic.
+                # Measured on grande 16x256: step-0 gnorm 31 -> loss
+                # pinned at ln(B) with gnorm 0.05 for ~75 steps.
+                opt_state = set_learning_rate(
+                    opt_state,
+                    cosine_lr(config, epoch)
+                    * (global_step + 1) / config.lr_warmup_steps,
+                )
             if partition == "train":
                 total_model_flops += coati_train_step_model_flops(
                     n_layer_xformer=config.n_layer_xformer,

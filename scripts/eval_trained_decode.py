@@ -161,6 +161,12 @@ def train_model(tmpdir, smiles=None, collection="geom_drugs", steps=None):
     config.weight_decay = float(
         os.environ.get("EVAL_WD", config.weight_decay)
     )
+    # InfoNCE init-saddle guard (the reference recipe has no warmup —
+    # at its million-molecule scale the first steps see so much data
+    # diversity the saddle never binds; at grande geometry a full-lr
+    # first step measurably collapses the embeddings onto the ln(B)
+    # floor for ~75 steps and escape is erratic, see train.py)
+    config.lr_warmup_steps = int(os.environ.get("EVAL_WARMUP", 300))
     if smiles is None:
         smiles = chembl_smiles()
     print(f"corpus: {len(smiles)} molecules; grande config "
