@@ -90,13 +90,20 @@ class _HGraph:
     then explicit hydrogens appended (rdkit AddHs layout)."""
 
     def __init__(self, mol: Mol, hydrogenate: bool):
+        # capture aromatic flags BEFORE kekulizing: kekulize() clears
+        # them while assigning alternating orders, and aromatic rings
+        # must embed with uniform ~1.4 A bonds (0.925 scale), not the
+        # kekulized 1.32/1.51 A alternation (ETKDG gives ~1.39 uniform)
+        arom_atoms = [a.aromatic for a in mol.atoms]
+        arom_bonds = [b.aromatic for b in mol.bonds]
         kekulize_safe(mol)
         n_heavy = len(mol.atoms)
         self.elem: List[str] = [a.element for a in mol.atoms]
-        self.arom: List[bool] = [a.aromatic for a in mol.atoms]
+        self.arom: List[bool] = arom_atoms
         self.z: List[int] = []
         edges: List[Tuple[int, int, int, bool]] = [
-            (b.a, b.b, b.order, b.aromatic) for b in mol.bonds
+            (b.a, b.b, b.order, ar)
+            for b, ar in zip(mol.bonds, arom_bonds)
         ]
         if hydrogenate:
             h = implicit_hydrogens(mol)
@@ -261,7 +268,10 @@ def _embed_once(lower: np.ndarray, upper: np.ndarray,
     vals, vecs = np.linalg.eigh(gram)
     idx = np.argsort(vals)[::-1][:3]
     lam = np.sqrt(np.maximum(vals[idx], 1e-9))
-    return vecs[:, idx] * lam[None, :]
+    x = vecs[:, idx] * lam[None, :]
+    if x.shape[1] < 3:  # n < 3 atoms: pad to the contract's (n, 3)
+        x = np.pad(x, ((0, 0), (0, 3 - x.shape[1])))
+    return x
 
 
 def _refine(x: np.ndarray, lower: np.ndarray, upper: np.ndarray,
@@ -286,16 +296,15 @@ def _refine(x: np.ndarray, lower: np.ndarray, upper: np.ndarray,
     return x, stress
 
 
-def embed_conformer(
+def _embed_with_graph(
     smiles: str,
     hydrogenate: bool = True,
     seed: int = 0xF00D,
     num_confs: int = 1,
-) -> Tuple[np.ndarray, np.ndarray, float]:
-    """(atoms Z uint8, coords (n,3) float64, stress) for one molecule.
-    num_confs > 1 embeds several seeds and keeps the lowest-stress
-    conformer (the offline analog of the reference's numConfs +
-    MMFF-energy selection)."""
+) -> Tuple[np.ndarray, np.ndarray, float, "_HGraph"]:
+    """embed_conformer plus the hydrogen-augmented working graph, so
+    callers needing adjacency (embed_smiles_to_atoms_coords) don't
+    re-parse and rebuild it."""
     mol = parse_smiles(smiles)
     g = _HGraph(mol, hydrogenate)
     lower, upper = _bounds(g)
@@ -308,7 +317,23 @@ def embed_conformer(
             best = (x, stress)
     coords, stress = best
     atoms = np.asarray(g.z, dtype=np.uint8)
-    return atoms, np.asarray(coords, dtype=np.float64), stress
+    return atoms, np.asarray(coords, dtype=np.float64), stress, g
+
+
+def embed_conformer(
+    smiles: str,
+    hydrogenate: bool = True,
+    seed: int = 0xF00D,
+    num_confs: int = 1,
+) -> Tuple[np.ndarray, np.ndarray, float]:
+    """(atoms Z uint8, coords (n,3) float64, stress) for one molecule.
+    num_confs > 1 embeds several seeds and keeps the lowest-stress
+    conformer (the offline analog of the reference's numConfs +
+    MMFF-energy selection)."""
+    atoms, coords, stress, _ = _embed_with_graph(
+        smiles, hydrogenate=hydrogenate, seed=seed, num_confs=num_confs
+    )
+    return atoms, coords, stress
 
 
 def embed_smiles_to_atoms_coords(
@@ -326,16 +351,13 @@ def embed_smiles_to_atoms_coords(
     appends the stress as the energy surrogate; numThreads accepted for
     signature parity."""
     del numThreads
-    mol = parse_smiles(smiles)  # validate before any work
-    n_heavy = len(mol.atoms)
-    atoms, coords, stress = embed_conformer(
+    atoms, coords, stress, g = _embed_with_graph(
         smiles, hydrogenate=hydrogenate, num_confs=numConfs if optimize else 1,
     )
     out = [atoms, coords]
     if adj_matrix:
         n = atoms.shape[0]
         adj = np.zeros((n, n), dtype=np.int8)
-        g = _HGraph(parse_smiles(smiles), hydrogenate)
         for a, b, _, _ in g.edges:
             adj[a, b] = adj[b, a] = 1
         out.append(adj)
@@ -346,5 +368,4 @@ def embed_smiles_to_atoms_coords(
                                       chiral=False))
     if optimize:
         out.append(stress)
-    del n_heavy
     return tuple(out)

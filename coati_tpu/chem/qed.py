@@ -53,7 +53,7 @@ from coati_tpu.chem.aromaticity import perceive_aromaticity
 from coati_tpu.chem.crippen import mol_logp
 from coati_tpu.chem.descriptors import sssr_rings, tpsa
 from coati_tpu.chem.graph_canon import implicit_hydrogens
-from coati_tpu.chem.selfies_lite import parse_smiles
+from coati_tpu.chem.selfies_lite import Atom, Bond, Mol, kekulize, parse_smiles
 from coati_tpu.chem.smarts import MolContext, compile_smarts
 
 __all__ = [
@@ -272,10 +272,34 @@ def _qed_properties_cached(smiles: str) -> tuple:
 
     hba = sum(_compiled(p).count_matches(ctx) for p in ACCEPTOR_SMARTS)
     imp_h = implicit_hydrogens(mol)
-    hbd = sum(
-        1 for a in mol.atoms
-        if a.element in ("N", "O") and imp_h[a.idx] >= 1
+    # rdkit CalcNumHBD semantics — SMARTS
+    # [$([N;!H0;v3,v4&+1]),$([O,S;H1;+0]),n&H1&+0]: N with >=1 H at
+    # valence 3 (any charge) or 4 with +1; O/S with EXACTLY one H and
+    # neutral (counts thiols, excludes water's H2 and charged O/S).
+    # Valence needs kekulized bond orders (aromatic flags carry none).
+    km = Mol(
+        atoms=[Atom(a.element, a.aromatic, a.charge, a.isotope,
+                    a.chirality, a.hcount, a.idx, a.frag)
+               for a in mol.atoms],
+        bonds=[Bond(b.a, b.b, b.order, b.aromatic) for b in mol.bonds],
+        roots=mol.roots,
     )
+    kekulize(km)
+    bond_sum = [0] * len(km.atoms)
+    for b in km.bonds:
+        bond_sum[b.a] += b.order
+        bond_sum[b.b] += b.order
+    hbd = 0
+    for a in mol.atoms:
+        h = imp_h[a.idx]
+        if h < 1:
+            continue
+        if a.element == "N":
+            v = bond_sum[a.idx] + h
+            if v == 3 or (v == 4 and a.charge == 1):
+                hbd += 1
+        elif a.element in ("O", "S") and h == 1 and a.charge == 0:
+            hbd += 1
     rotb = _compiled(ROTB_SMARTS).count_matches(ctx)
     arom = sum(
         1 for ring in sssr_rings(mol)

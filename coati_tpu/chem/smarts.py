@@ -10,7 +10,7 @@ Supported subset — everything the in-tree pattern tables use:
 
   atom primitives   ``*`` ``A`` ``a``, element symbols (``C``/``c``,
                     ``Cl``, ...), ``#n`` atomic number, leading digits
-                    (isotope), ``Dn`` ``Hn`` ``hn`` ``Xn`` ``vn``
+                    (isotope), ``Dn`` ``Hn`` ``hn`` ``Xn`` ``xn`` ``vn``
                     ``Rn`` ``rn``, charges (``+`` ``-`` ``+2`` ``++``),
                     ``@``/``@@`` (parsed, matched permissively),
                     ``$(...)`` recursive SMARTS
@@ -26,6 +26,8 @@ Semantics follow Daylight/RDKit:
   ``H``  total hydrogen count — implicit + neighboring explicit H atoms
   ``h``  implicit hydrogen count
   ``X``  total connections — degree + implicit hydrogens
+  ``x``  ring-bond count — bonds at the atom in any SSSR ring
+         (``x`` alone: >= 1)
   ``v``  total bond-order valence (kekulized orders) + total hydrogens
   ``R``  number of SSSR rings containing the atom (``R`` alone: >= 1)
   ``r``  member of an SSSR ring of the given size (``r`` alone: any)
@@ -55,7 +57,6 @@ __all__ = [
     "SmartsPattern",
     "compile_smarts",
     "add_explicit_hydrogens",
-    "context_for_smiles",
 ]
 
 _SYMBOL_TO_Z: Dict[str, int] = {}
@@ -145,11 +146,6 @@ class MolContext:
                 self.ring_count[i] += 1
                 self.ring_sizes[i].add(len(ring))
         self.z = [sym_to_z.get(a.element, 0) for a in mol.atoms]
-
-
-@lru_cache(maxsize=100_000)
-def context_for_smiles(smiles: str) -> MolContext:
-    return MolContext(parse_smiles(smiles))
 
 
 def add_explicit_hydrogens(mol: Mol) -> Mol:
@@ -259,9 +255,20 @@ def _parse_atom_primitive(s: str, pos: int) -> Tuple[AtomPred, int]:
         if c == "h":
             d = 1 if num is None else num
             return (lambda ctx, i: ctx.imp_h[i] >= d), j
-        if c in ("X", "x"):
+        if c == "X":
             d = 1 if num is None else num
             return (lambda ctx, i: ctx.degree[i] + ctx.imp_h[i] == d), j
+        if c == "x":
+            # ring-bond count (ring connectivity), NOT total connections
+
+            def _ring_bond_count(ctx, i):
+                return sum(
+                    1 for _, bi in ctx.adj[i] if bi in ctx.ring_bonds
+                )
+
+            if num is None:
+                return (lambda ctx, i: _ring_bond_count(ctx, i) > 0), j
+            return (lambda ctx, i: _ring_bond_count(ctx, i) == num), j
         if c == "v":
             d = 1 if num is None else num
             return (lambda ctx, i: ctx.valence[i] == d), j

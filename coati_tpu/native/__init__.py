@@ -50,26 +50,8 @@ def load_fast_matcher() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        cc = _compiler()
-        if cc is None or not os.path.exists(_SRC):
-            return None
-        with open(_SRC, "rb") as f:
-            digest = hashlib.sha256(f.read()).hexdigest()[:16]
-        so_path = os.path.join(_cache_dir(), f"fast_matcher_{digest}.so")
-        if not os.path.exists(so_path):
-            tmp = so_path + f".tmp{os.getpid()}"
-            try:
-                subprocess.run(
-                    [cc, "-O3", "-shared", "-fPIC", "-o", tmp, _SRC],
-                    check=True,
-                    capture_output=True,
-                )
-                os.replace(tmp, so_path)
-            except (subprocess.CalledProcessError, OSError):
-                return None
-        try:
-            lib = ctypes.CDLL(so_path)
-        except OSError:
+        lib = _compile_and_load(_SRC, "fast_matcher", pydll=False)
+        if lib is None:
             return None
         lib.matcher_new.restype = ctypes.c_void_p
         lib.matcher_new.argtypes = []

@@ -379,6 +379,8 @@ class ContinuousDecoder:
         # slot set occupied AT SNAPSHOT TIME, so this transfer overlaps
         # the segment the device is computing now.
         if snap is None:
+            if not self._slot_req:
+                return  # nothing occupies a slot; skip the ~29 ms sync
             arrays = (self.state.live, self.state.lpos, self.state.tokens)
             snap_slots = set(self._slot_req)
         else:
@@ -476,16 +478,22 @@ class ContinuousDecoder:
                 self.cache, self.state
             )
             dispatched = True
+        harvested_snap = False
         if self._snap is not None:
             snap, self._snap = self._snap, None
             self._harvest(snap)
+            harvested_snap = True
         if dispatched and self.pipeline:
             # light fields are fresh (never-donated) buffers: safe to
             # hold across the next tick's admissions/segment; the slot
             # set is captured NOW (slots admitted later are excluded)
             self._snap = (self.state.live, self.state.lpos,
                           self.state.tokens, set(self._slot_req))
-        else:
+        elif not (harvested_snap and not dispatched):
+            # drain-tail guard: with no dispatch this tick, the device
+            # state is IDENTICAL to the snapshot just harvested — a
+            # second device_get would re-read the same arrays for
+            # nothing (two ~29 ms syncs per run_until_done tail)
             self._harvest()
 
     def run_until_done(self, max_segments: int = 10_000):

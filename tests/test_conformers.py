@@ -63,6 +63,39 @@ def test_geometry_sane(smiles):
     assert atoms.dtype == np.uint8 and (atoms > 0).all()
 
 
+def test_aromatic_rings_embed_uniform_bonds():
+    """Aromatic bond lengths must be UNIFORM (~1.4 A, the 0.925 scale),
+    not the kekulized 1.32/1.51 alternation: kekulize() clears aromatic
+    flags while assigning alternating orders, so _HGraph must capture
+    the flags first (regression: every aromatic training conformer was
+    systematically distorted)."""
+    from coati_tpu.chem.conformers import embed_conformer
+
+    atoms, coords, _ = embed_conformer("c1ccccc1")
+    heavy = [i for i, z in enumerate(atoms) if z != 1]
+    ring = [
+        np.linalg.norm(coords[heavy[i]] - coords[heavy[(i + 1) % 6]])
+        for i in range(6)
+    ]
+    assert max(ring) - min(ring) < 0.12, ring
+    assert 1.30 < np.mean(ring) < 1.50
+
+
+def test_tiny_molecules_pad_coords_to_three_columns():
+    """n < 3 atoms must still return (n, 3) coords (the reference
+    contract); the MDS Gram matrix only has n-1 informative
+    eigenvectors, so columns are zero-padded (regression: (1,1)/(2,2)
+    shapes silently broadcast downstream)."""
+    from coati_tpu.chem.conformers import embed_smiles_to_atoms_coords
+
+    _, c = embed_smiles_to_atoms_coords("C", hydrogenate=False)
+    assert c.shape == (1, 3)
+    _, c = embed_smiles_to_atoms_coords("[H][H]", hydrogenate=False)
+    assert c.shape == (2, 3)
+    _, c = embed_smiles_to_atoms_coords("O", hydrogenate=False)
+    assert c.shape == (1, 3)
+
+
 def test_hydrogenate_layout_matches_addhs():
     """Heavy atoms first (parse order), hydrogens appended — the rdkit
     AddHs layout the reference data prep produces."""

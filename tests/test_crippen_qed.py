@@ -114,6 +114,25 @@ def test_ads_desirability_shape():
     assert 0.0 < ads(300.0, p) <= 1.0
 
 
+def test_hbd_calcnumhbd_semantics():
+    """HBD follows rdkit CalcNumHBD's SMARTS
+    [$([N;!H0;v3,v4&+1]),$([O,S;H1;+0]),n&H1&+0]: thiols COUNT, water
+    (H2) and charged O/S do NOT (regression: S-H was missed and any
+    N/O with an H over-counted)."""
+    cases = {
+        "CCS": 1.0,           # thiol
+        "CCO": 1.0,           # alcohol
+        "O": 0.0,             # water: H2, excluded by H1
+        "c1cc[nH]c1": 1.0,    # pyrrole n&H1
+        "CC(=O)N": 1.0,       # amide NH2 is one donor ATOM
+        "C[NH3+]": 1.0,       # v4&+1
+        "CC(=O)[O-]": 0.0,    # charged O excluded by +0
+        "c1ccccc1": 0.0,
+    }
+    for smi, want in cases.items():
+        assert qed_properties(smi)["HBD"] == want, smi
+
+
 def test_qed_properties_aspirin():
     props = qed_properties("CC(=O)Oc1ccccc1C(=O)O")
     assert props["MW"] == pytest.approx(180.159, abs=0.01)

@@ -172,3 +172,15 @@ def test_counts_agree_with_rdkit():
             )
             got = compile_smarts(p).count_matches(c)
             assert got == want, (smi, p, got, want)
+
+
+def test_ring_bond_count_primitive():
+    """Lowercase `x` is ring-BOND count (Daylight ring connectivity),
+    distinct from `X` total connections (regression: x silently aliased
+    X, so [x2] matched nothing on cyclohexane)."""
+    assert count("[x2]", "C1CCCCC1") == 6       # each ring C: 2 ring bonds
+    assert count("[x2]", "CCCCCC") == 0         # chain: no ring bonds
+    assert count("[x4]", "C1CCC2(CC1)CCCC2") == 1   # spiro center
+    assert count("[x3]", "c1ccc2ccccc2c1") == 2     # fused bridgeheads
+    assert count("[x]", "C1CC1C") == 3          # bare x: >= 1 ring bond
+    assert count("[X4]", "C1CCCCC1") == 6       # X unchanged: 2 nb + 2 H
