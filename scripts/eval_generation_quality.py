@@ -67,22 +67,35 @@ def split_corpus(smiles):
 def greedy_roundtrip(model, tok, smiles):
     """fraction of molecules whose SMILES-clip embedding greedy-decodes
     back to the SAME MOLECULE (inv_temp 20, k 2 — the established
-    greedy regime from eval_trained_decode.py). Identity is graph-level
-    (canonical SMILES equality, the reference's identical_canonsmi
-    semantics, rdkit_utils.py:88-96): the model is trained on
-    CANONICALIZED targets, so it correctly emits the canonical writing
-    while the corpus stores an arbitrary one — a raw string compare
-    scored those inversions 0 (the round-3/round-4 '1/554' artifact)."""
-    keep = [
-        s for s in smiles
-        if _valid_proxy(s, tok)
-        and len(tok.tokenize_text("[SMILES]" + s + "[STOP]", pad=False))
-        <= tok.n_seq
-    ]
+    greedy regime from eval_trained_decode.py). Two writing-invariance
+    traps, both hit and fixed in round 4: (1) identity must be
+    graph-level (canonical SMILES equality, the reference's
+    identical_canonsmi semantics, rdkit_utils.py:88-96) because the
+    model emits the canonical writing while the corpus stores an
+    arbitrary one; (2) the ENCODE side must tokenize the CANONICAL
+    writing — the training xform canonicalizes every row
+    (clip_ar_xform <= clip_e2e.py:101), so h(canonical) is the key the
+    decoder memorized; encoding the raw corpus writing produced a
+    near-but-wrong key and 9% round-trip on a model whose
+    teacher-forced inversion was 90%."""
+    from coati_tpu.chem.rdkit_support import canon_smiles
+
+    keep, enc = [], []
+    for s in smiles:
+        if not _valid_proxy(s, tok):
+            continue
+        try:
+            c = canon_smiles(s)
+        except Exception:  # noqa: BLE001
+            continue
+        if len(tok.tokenize_text("[SMILES]" + c + "[STOP]", pad=False)) \
+                <= tok.n_seq:
+            keep.append(s)
+            enc.append(c)
     if not keep:
         return 0.0, 0
     toks = np.asarray(
-        [tok.tokenize_text("[SMILES]" + s + "[STOP]", pad=True) for s in keep],
+        [tok.tokenize_text("[SMILES]" + c + "[STOP]", pad=True) for c in enc],
         np.int32,
     )
     h = model.encode_tokens(toks, tok)

@@ -224,14 +224,26 @@ def evaluate(doc_path, smiles, out_path):
     model, tok = load_e3gnn_smiles_clip_e2e(doc_path)
     base_cfg = model.config
 
-    # embed the corpus once (fp32 highest for a clean reference h)
-    keep = [
-        s for s in smiles
-        if _valid_proxy(s, tok)
-        and len(tok.tokenize_text("[SMILES]" + s + "[STOP]", pad=False)) <= tok.n_seq
-    ]
+    # embed the corpus once (fp32 highest for a clean reference h).
+    # ENCODE the canonical writing: the training xform canonicalizes
+    # every row, so h(canonical) is the key the decoder learned —
+    # encoding the raw corpus writing hands it a near-but-wrong key
+    # (measured: 9% vs 89% greedy round-trip on the same model).
+    from coati_tpu.chem.rdkit_support import canon_smiles
+
+    keep, enc = [], []
+    for s in smiles:
+        if not _valid_proxy(s, tok):
+            continue
+        try:
+            c = canon_smiles(s)
+        except Exception:  # noqa: BLE001
+            continue
+        if len(tok.tokenize_text("[SMILES]" + c + "[STOP]", pad=False)) <= tok.n_seq:
+            keep.append(s)
+            enc.append(c)
     toks = np.asarray(
-        [tok.tokenize_text("[SMILES]" + s + "[STOP]", pad=True) for s in keep],
+        [tok.tokenize_text("[SMILES]" + c + "[STOP]", pad=True) for c in enc],
         np.int32,
     )
     h = np.asarray(COATI(model.params, base_cfg).encode_tokens(toks, tok))
