@@ -119,6 +119,7 @@ class ContinuousDecoder:
         segment_len: int = 48,
         segment_len_hot: Optional[int] = 16,
         pipeline: bool = True,
+        adaptive: bool = True,
         seed: int = 0,
         inj_transform=None,
         inj_dim: Optional[int] = None,
@@ -159,6 +160,10 @@ class ContinuousDecoder:
         self.segment_len = segment_len
         self.segment_len_hot = segment_len_hot
         self.pipeline = pipeline
+        # adaptive=False pins pipelined harvest ordering regardless of
+        # the finish-rate EMA (see step()); only meaningful with
+        # pipeline=True
+        self.adaptive = adaptive
         self.inj_transform = inj_transform
         self.inj_dim = inj_dim
         assert len(self.prefix) >= 1 and len(self.prefix) < self.w
@@ -465,7 +470,8 @@ class ContinuousDecoder:
         self._admit_pending()
         with self._lock:
             queued = bool(self._pending)
-        if self._snap is not None and queued and self._finish_rate > 0.25:
+        if (self.adaptive and self._snap is not None and queued
+                and self._finish_rate > 0.25):
             snap, self._snap = self._snap, None
             self._harvest(snap)
             self._admit_pending()  # reuse freed slots THIS segment

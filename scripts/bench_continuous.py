@@ -110,6 +110,18 @@ def main():
           f"(len p10/p50/p90: "
           f"{np.percentile([len(smiles[i]) for i in pick], [10, 50, 90])})")
 
+    def _best_of(fn, reps):
+        """Repeat a sub-second measurement and keep the fastest run —
+        single timings on this tunnel drift up to ~25% (CLAUDE.md);
+        best-of-N compares the runtimes' FLOORS, which is the honest
+        A/B for dispatch-overhead questions."""
+        best = None
+        for _ in range(reps):
+            out = fn()
+            if best is None or out[0] < best[0]:
+                best = out
+        return best
+
     def drain_batch(inv_temp):
         lat = np.zeros(args.n)
         lens = []
@@ -182,7 +194,7 @@ def main():
             ("continuous", lambda: continuous(eng)),
         ):
             fn()  # compile + steady-state warmup pass
-            total, lat, lens = fn()
+            total, lat, lens = _best_of(fn, 3)
             scen_res[name] = {
                 "total_s": round(total, 3),
                 "throughput_mol_s": round(args.n / total, 1),
@@ -248,16 +260,22 @@ def main():
             lens.extend(np.minimum(budgets[rows], max_budget).tolist())
         return time.perf_counter() - t0, lat, np.asarray(lens[: args.n])
 
-    eng = ContinuousDecoder(
-        rparams, xcfg, prefix, n_slots=args.slots,
-        total_len=len(prefix) + max_budget, stop_token=tok.stop_token,
-        pad_token=tok.pad_token, inject_token=tok.unk_token,
-        k=100, inv_temp=2.0, segment_len=args.segment,
-    )
-    print("[budget_longtail] warming continuous engine ...")
-    eng.warmup()
+    def make_engine(adaptive):
+        e = ContinuousDecoder(
+            rparams, xcfg, prefix, n_slots=args.slots,
+            total_len=len(prefix) + max_budget, stop_token=tok.stop_token,
+            pad_token=tok.pad_token, inject_token=tok.unk_token,
+            k=100, inv_temp=2.0, segment_len=args.segment,
+            adaptive=adaptive,
+        )
+        e.warmup()
+        return e
 
-    def continuous_budgeted():
+    print("[budget_longtail] warming continuous engines ...")
+    eng = make_engine(adaptive=True)
+    eng_pipe = make_engine(adaptive=False)
+
+    def continuous_budgeted(eng):
         rids = [
             eng.submit(inj[i], max_new_tokens=int(budgets[i]))
             for i in range(args.n)
@@ -279,10 +297,14 @@ def main():
     scen_res = {}
     for name, fn in (
         ("drain_batch", drain_budgeted),
-        ("continuous", continuous_budgeted),
+        ("continuous", lambda: continuous_budgeted(eng)),
+        # same-process mode A/B: pipelined harvest with the adaptive
+        # harvest-first escape disabled (the two modes differ only in
+        # WHEN finished slots recycle; see serving/continuous.py step())
+        ("continuous_pipeline_only", lambda: continuous_budgeted(eng_pipe)),
     ):
         fn()
-        total, lat, lens = fn()
+        total, lat, lens = _best_of(fn, 3)
         scen_res[name] = {
             "total_s": round(total, 3),
             "throughput_mol_s": round(args.n / total, 1),
