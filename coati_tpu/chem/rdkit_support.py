@@ -442,11 +442,21 @@ def mol_properties(mol) -> Dict[str, Any]:
 
         try:
             out = dict(molecular_descriptors(mol))
-            out["MolLogP"] = mol_logp(mol)
-            out["QED"] = qed(mol)
-            return out
         except Exception:  # noqa: BLE001
             return None
+        # MolLogP/QED run per-key: a molecule the descriptor engine
+        # handles but the SMARTS/kekulize path trips on (EncoderError in
+        # aromaticity) keeps its count/TPSA conditioning tokens and
+        # loses only the failing keys (ADVICE r4).
+        try:
+            out["MolLogP"] = mol_logp(mol)
+        except Exception:  # noqa: BLE001
+            pass
+        try:
+            out["QED"] = qed(mol)
+        except Exception:  # noqa: BLE001
+            pass
+        return out
     return _mol_properties_rdkit(mol)
 
 

@@ -95,7 +95,7 @@ class MolContext:
     shared across every pattern evaluated on the molecule."""
 
     __slots__ = (
-        "mol", "adj", "degree", "imp_h", "tot_h", "valence",
+        "mol", "adj", "degree", "imp_h", "free_h", "tot_h", "valence",
         "ring_count", "ring_sizes", "ring_bonds", "z",
     )
 
@@ -106,6 +106,13 @@ class MolContext:
         self.adj: List[List[Tuple[int, int]]] = mol.neighbors()
         self.degree = [len(nb) for nb in self.adj]
         self.imp_h = implicit_hydrogens(mol)
+        # RDKit's `h` primitive counts only hydrogens the valence model
+        # INFERRED — bracket-specified Hs ([nH]) are explicit there, so
+        # they contribute to H/X but not to h.
+        self.free_h = [
+            0 if a.hcount is not None else h
+            for a, h in zip(mol.atoms, self.imp_h)
+        ]
         self.tot_h = list(self.imp_h)
         for i, nb in enumerate(self.adj):
             self.tot_h[i] += sum(
@@ -253,8 +260,13 @@ def _parse_atom_primitive(s: str, pos: int) -> Tuple[AtomPred, int]:
             d = 1 if num is None else num
             return (lambda ctx, i: ctx.tot_h[i] == d), j
         if c == "h":
-            d = 1 if num is None else num
-            return (lambda ctx, i: ctx.imp_h[i] >= d), j
+            # Daylight/RDKit: bare `h` means "at least one implicit H";
+            # a numbered `h<n>` is EXACT implicit-H count (== n), unlike
+            # the >=1 reading a bare h gets. Counts free_h (valence-
+            # inferred Hs only), matching RDKit's h on bracket atoms.
+            if num is None:
+                return (lambda ctx, i: ctx.free_h[i] >= 1), j
+            return (lambda ctx, i: ctx.free_h[i] == num), j
         if c == "X":
             d = 1 if num is None else num
             return (lambda ctx, i: ctx.degree[i] + ctx.imp_h[i] == d), j

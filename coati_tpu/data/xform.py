@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import functools as _functools
 import random as _random
+import warnings
 from typing import Dict, Optional
 
 import numpy as np
@@ -29,6 +30,14 @@ import numpy as np
 from coati_tpu.chem.rdkit_support import canonicalize_or_self, permute_smiles
 from coati_tpu.tokenizers.graph_tokens import adj_mat_to_tokens
 from coati_tpu.tokenizers.trie_tokenizer import TrieTokenizer
+
+
+# Per-process conformer-synthesis accounting (ADVICE r4): a corpus that
+# systematically fails to embed must be visible, not a silent CLIP-signal
+# collapse. Warn once when a batch exceeds the threshold.
+EMBED_FAIL_COUNTS = {"attempted": 0, "failed": 0}
+_EMBED_FAIL_WARN = 0.25
+_embed_fail_warned = False
 
 
 @_functools.lru_cache(maxsize=50_000)
@@ -64,7 +73,10 @@ def _synthesize_conformers(batch: Dict) -> None:
     embedder chem/conformers.py; reference datasets precompute these
     columns with ETKDG, rdkit_utils.py:162-219). Rows that already
     carry atoms keep them; rows that fail to embed get all-padding
-    atoms — the same loss-inert degradation as tokenize failures."""
+    atoms — the same loss-inert degradation as tokenize failures.
+    A batch where many rows fail to embed is NOT inert (zero-atom rows
+    degrade the CLIP signal — see _conformers_missing), so failure
+    fractions above _EMBED_FAIL_WARN are warned once per process."""
     b = len(batch["smiles"])
     old_a = old_c = None
     if "atoms" in batch and np.asarray(batch["atoms"]).ndim == 2 \
@@ -72,11 +84,29 @@ def _synthesize_conformers(batch: Dict) -> None:
         old_a = np.asarray(batch["atoms"])
         old_c = np.asarray(batch["coords"])
     rows = []
+    n_embedded = n_failed = 0
     for i, s in enumerate(batch["smiles"]):
         if old_a is not None and (old_a[i] > 0).any():
             rows.append((old_a[i], old_c[i]))
         else:
-            rows.append(_embed_conformer_cached(str(s)))
+            r = _embed_conformer_cached(str(s))
+            rows.append(r)
+            n_embedded += 1
+            n_failed += r is None
+    EMBED_FAIL_COUNTS["attempted"] += n_embedded
+    EMBED_FAIL_COUNTS["failed"] += n_failed
+    if n_embedded and n_failed / n_embedded > _EMBED_FAIL_WARN:
+        global _embed_fail_warned
+        if not _embed_fail_warned:
+            _embed_fail_warned = True
+            warnings.warn(
+                f"conformer synthesis failed for {n_failed}/{n_embedded} "
+                "rows of a batch; failed rows train with zero atoms, and "
+                "a systematically failing corpus collapses the CLIP "
+                "signal (see _conformers_missing). Totals in "
+                "coati_tpu.data.xform.EMBED_FAIL_COUNTS.",
+                stacklevel=2,
+            )
     n_max = max((r[0].shape[0] for r in rows if r is not None), default=1)
     atoms = np.zeros((b, n_max), np.int32)
     coords = np.zeros((b, n_max, 3), np.float32)

@@ -79,11 +79,20 @@ def coati2_properties(smiles: str) -> Optional[Dict[str, float]]:
 
         try:
             out = dict(molecular_descriptors(smiles))
-            out["MolLogP"] = mol_logp(smiles)
-            out["QED"] = _qed(smiles)
-            return out
         except Exception:  # noqa: BLE001
             return None
+        # per-key so a SMARTS/kekulize trip loses only MolLogP/QED, not
+        # the whole conditioning block (property_tokens skips missing
+        # keys; ADVICE r4)
+        try:
+            out["MolLogP"] = mol_logp(smiles)
+        except Exception:  # noqa: BLE001
+            pass
+        try:
+            out["QED"] = _qed(smiles)
+        except Exception:  # noqa: BLE001
+            pass
+        return out
     from rdkit import Chem
     from rdkit.Chem import Crippen, Descriptors, Lipinski, QED
 

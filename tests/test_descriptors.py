@@ -145,6 +145,30 @@ def test_mol_properties_bad_smiles_returns_none():
     assert mol_properties("not_a_smiles((") is None
 
 
+def test_mol_properties_partial_on_logp_qed_failure(monkeypatch):
+    """A molecule the descriptor engine handles but MolLogP/QED trip on
+    keeps its count/TPSA descriptors and loses only the failing keys
+    (ADVICE r4) — offline path only; with rdkit the whole dict comes
+    from one rdkit call."""
+    from coati_tpu.chem.rdkit_support import HAS_RDKIT
+
+    if HAS_RDKIT:
+        pytest.skip("offline per-key degradation path")
+    import coati_tpu.chem.crippen as crippen
+
+    def boom(_s):
+        raise ValueError("synthetic SMARTS failure")
+
+    monkeypatch.setattr(crippen, "mol_logp", boom)
+    d = mol_properties("CC(=O)Oc1ccccc1C(=O)O")
+    assert d is not None
+    assert "MolLogP" not in d
+    assert d["NumHDonors"] == 1
+    # qed.py binds mol_logp at module import, so the monkeypatch on the
+    # crippen module doesn't reach it: QED still computes.
+    assert "QED" in d
+
+
 def test_coati2_properties_offline():
     from coati_tpu.data.xform_coati2 import PROPERTY_BUCKETS, coati2_properties
 

@@ -54,6 +54,14 @@ CASES = [
     ("[N+]", "C[N+](C)(C)C", 1),
     ("[nH]", "c1cc[nH]c1", 1),
     ("[nH0]", "c1ccncc1", 1),
+    # h<n> is EXACT implicit-H count (Daylight/RDKit); bare h is >= 1.
+    # Bracket-specified Hs are explicit in RDKit, so [nH] has h0.
+    ("[h]", "CCO", 3),
+    ("[h1]", "CCO", 1),       # the OH oxygen only
+    ("[h2]", "CCO", 1),       # the CH2 only
+    ("[h3]", "CCO", 1),       # the CH3 only
+    ("[h1]", "c1ccccc1C", 5),  # ring CHs; the substituted c is h0
+    ("[h0]", "c1cc[nH]c1", 1),  # only [nH]: its H is explicit, h=0
     ("[!C;!c]", "CCOc1ccccc1", 1),
     ("[C,O]", "CCO", 3),
     ("[8C]", "C[8C]O", 1),  # isotope
