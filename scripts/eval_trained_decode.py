@@ -122,7 +122,12 @@ class ChemblDataset:
         )
 
 
-def train_model(tmpdir, smiles=None, collection="geom_drugs", steps=None):
+def train_model(tmpdir, smiles=None, collection="geom_drugs", steps=None,
+                dataset=None):
+    """Train a grande-config COATI through the real pretraining stack.
+    `dataset` overrides the default ChemblDataset (any object with the
+    COATI_dataset get_data_pipe contract — e.g. data/synth.py
+    SynthCorpusDataset for the synthesized generalization corpus)."""
     from coati_tpu.training.config import grande_config
     from coati_tpu.training.logger import COATILogger
     from coati_tpu.training.train import train_autoencoder
@@ -172,8 +177,12 @@ def train_model(tmpdir, smiles=None, collection="geom_drugs", steps=None):
     print(f"corpus: {len(smiles)} molecules; grande config "
           f"{config.n_layer_xformer}x{config.n_hidden_xformer}/"
           f"{config.n_head}h, {steps} steps x batch {config.batch_size}")
-    dataset = ChemblDataset(smiles, epoch_rows=(steps + 2) * config.batch_size,
-                            collection=collection)
+    if dataset is None:
+        dataset = ChemblDataset(
+            smiles, epoch_rows=(steps + 2) * config.batch_size,
+            collection=collection)
+    else:
+        dataset.epoch_rows = (steps + 2) * config.batch_size
     logger = COATILogger(
         model_name="e3gnn_smiles_clip_e2e", output_path=config.output_dir,
         model_path=config.model_dir, args=config.as_dict(), dataset="chembl",
