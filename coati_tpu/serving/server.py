@@ -108,12 +108,10 @@ class CoatiInferenceServer:
         drain-the-cohort micro-batches — a finished molecule returns at
         the next segment boundary instead of waiting for the longest
         co-batched one (docs/SERVING.md "Continuous batching").
-        COATI1, top_p=None requests only; others fall back to the
-        micro-batcher."""
-        if continuous and hasattr(model, "hcoati_to_2d_batch"):
-            raise NotImplementedError(
-                "continuous batching serves COATI1 models only"
-            )
+        Both model families (COATI1 via clip_to_special_token, COATI2
+        via coati_to_token — the flagship published family,
+        reference simple_coati2/transformer_only.py:43); top_p=None
+        requests only, others fall back to the micro-batcher."""
         if continuous and mesh is not None and mesh.devices.size > 1:
             raise NotImplementedError(
                 "continuous batching is single-device (the slot pool "
@@ -169,7 +167,6 @@ class CoatiInferenceServer:
                 if (
                     self._continuous
                     and top_p is None
-                    and not fe.is_coati2
                     and hasattr(fe.model, "params")
                 ):
                     self._gen_batchers[key] = self._make_continuous(
@@ -191,8 +188,13 @@ class CoatiInferenceServer:
 
     def _make_continuous(self, k: int, inv_temp: float):
         """A ContinuousService slot pool for one (k, inv_temp) config
-        (see docs/SERVING.md 'Continuous batching')."""
-        from coati_tpu.models.coati import clip_to_special_token
+        (see docs/SERVING.md 'Continuous batching'). Both families ride
+        the SAME engine — their decode surfaces are structurally
+        identical ([CLIP][UNK][SMILES] prefix, injection over [UNK]);
+        only the embedding->token map differs: clip_to_special_token
+        (COATI1, models/coati.py) vs the coati_to_token SwiGLU resnet
+        (COATI2, models/coati2.py:241 ⇐ reference
+        simple_coati2/transformer_only.py:43)."""
         from coati_tpu.ops.layers import cast_floats
         from coati_tpu.serving.continuous import (
             ContinuousDecoder,
@@ -205,8 +207,22 @@ class CoatiInferenceServer:
         prefix = list(tok.tokenize_text("[CLIP][UNK][SMILES]", pad=False))
         cparams = cast_floats(model.params, xcfg.compute_dtype)
 
-        def inj_transform(h):
-            return clip_to_special_token(cparams, h.astype(xcfg.compute_dtype))
+        if self.frontend.is_coati2:
+            from coati_tpu.models.coati2 import apply_swiglu_resnet
+
+            def inj_transform(h):
+                return apply_swiglu_resnet(
+                    cparams.coati_to_token,
+                    h.astype(xcfg.compute_dtype),
+                    xcfg.mm_precision,
+                )
+        else:
+            from coati_tpu.models.coati import clip_to_special_token
+
+            def inj_transform(h):
+                return clip_to_special_token(
+                    cparams, h.astype(xcfg.compute_dtype)
+                )
 
         engine = ContinuousDecoder(
             model.params.xformer, xcfg, prefix,

@@ -296,3 +296,72 @@ def test_concurrent_submission():
     results = eng.run_until_done()
     assert sorted(results) == sorted(rids)
     assert len(results) == 9
+
+
+def _coati2_model():
+    """Tiny REAL COATI2 (models/coati2.py) — the flagship published
+    family (reference simple_coati2/transformer_only.py:43)."""
+    from coati_tpu.models.coati2 import COATI2, Coati2Config, init_coati2
+    from coati_tpu.tokenizers import get_vocab
+    from coati_tpu.tokenizers.trie_tokenizer import TrieTokenizer
+
+    tok = TrieTokenizer(n_seq=40, **get_vocab("coati2_12_12"))
+    cfg = Coati2Config(
+        n_layer_xformer=2, n_hidden_xformer=32, embed_dim=32, n_head=2,
+        n_seq=40, n_tok=tok.n_token, precision="highest",
+    )
+    model = COATI2(init_coati2(jax.random.PRNGKey(3), cfg), cfg)
+    return model, tok
+
+
+def test_engine_matches_coati2_greedy():
+    """The server's COATI2 continuous branch: engine k=1 output (raw
+    h_coati submitted, coati_to_token applied INSIDE the admission
+    program) must equal hcoati_to_2d_batch's k=1 tokens per request,
+    while slots recycle (5 requests through 2 slots)."""
+    from coati_tpu.models.coati2 import apply_swiglu_resnet
+
+    model, tok = _coati2_model()
+    cfg = model.config
+    xcfg = cfg.xformer_config
+    rng = np.random.default_rng(4)
+    h = rng.normal(size=(5, cfg.embed_dim)).astype(np.float32)
+
+    smiles_ref, tokens_ref = model.hcoati_to_2d_batch(
+        h, tok, inv_temp=20.0, k=1, return_tokens=True, keep_special=True
+    )
+
+    prefix = list(tok.tokenize_text("[CLIP][UNK][SMILES]", pad=False))
+
+    def inj_transform(hh):
+        return apply_swiglu_resnet(
+            model.params.coati_to_token, hh.astype(xcfg.compute_dtype),
+            xcfg.mm_precision,
+        )
+
+    eng = ContinuousDecoder(
+        model.params.xformer, xcfg, prefix, n_slots=2,
+        stop_token=tok.stop_token, pad_token=tok.pad_token,
+        inject_token=tok.unk_token, k=1, inv_temp=20.0, segment_len=8,
+        inj_transform=inj_transform, inj_dim=cfg.embed_dim,
+    )
+    # budget below the cap: random weights never emit [STOP] at a
+    # 4157-token vocab, and at the n_seq cap the two surfaces disagree
+    # benignly (engine fills the final slot with a sampled token, the
+    # sampler leaves pad) — every BUDGETED position must match exactly
+    budget = 20
+    rids = [eng.submit(h[i], max_new_tokens=budget) for i in range(5)]
+    results = eng.run_until_done()
+    assert sorted(results) == sorted(rids)
+    stop = tok.stop_token
+    for rid, ref in zip(rids, tokens_ref):
+        got = list(results[rid])
+        want = list(ref)
+        if stop in want:
+            want = want[: want.index(stop) + 1]
+        want = want[: len(prefix) + budget]
+        assert len(got) == len(want)
+        assert got == want, f"request {rid}: {got} != {want}"
+        # and the decoded string matches the reference decode surface
+        assert tok.decode(got[len(prefix):], special=False) \
+            == tok.decode(want[len(prefix):], special=False)

@@ -298,3 +298,32 @@ def test_server_continuous_mode():
         assert isinstance(srv._gen_batcher(8, 2.0, 0.9), MicroBatcher)
     finally:
         srv.stop()
+
+
+def test_server_continuous_mode_coati2():
+    """continuous=True + COATI2 (round 5: previously rejected with
+    NotImplementedError): /generate rides the slot-pool engine with the
+    coati_to_token injection transform; requests complete and the
+    batcher for the config is a ContinuousService."""
+    from coati_tpu.models.coati2 import COATI2, Coati2Config, init_coati2
+    from coati_tpu.serving.continuous import ContinuousService
+
+    tok = TrieTokenizer(n_seq=48, **get_vocab("coati2_12_12"))
+    cfg = Coati2Config(
+        n_layer_xformer=2, n_hidden_xformer=32, embed_dim=32, n_head=2,
+        n_seq=48, n_tok=tok.n_token,
+    )
+    model = COATI2(init_coati2(jax.random.PRNGKey(0), cfg), cfg)
+    srv = CoatiInferenceServer(
+        model, tok, port=0, continuous=True, n_slots=4
+    )
+    srv.start()
+    try:
+        out = _post(srv, "/embed", {"smiles": ["CCO", "CC", "CCC"]})
+        h = out["embeddings"]
+        gen = _post(srv, "/generate", {"embeddings": h * 2, "k": 8})
+        assert len(gen["smiles"]) == 6
+        assert all(isinstance(s, str) for s in gen["smiles"])
+        assert isinstance(srv._gen_batcher(8, 2.0), ContinuousService)
+    finally:
+        srv.stop()
