@@ -63,9 +63,10 @@ from coati_tpu.ops.sampling import sample_top_k
 
 @struct.dataclass
 class PoolState:
-    """Device-resident slot pool (LIGHT fields — tens of KB). Row
-    N_SLOTS is a spare scratch row (kept never-live as a safety margin
-    for future padded admissions). `lpos` is each row's LOGICAL
+    """Device-resident slot pool (LIGHT fields — tens of KB). Rows
+    N_SLOTS..n_rows-1 are spare scratch rows (kept never-live; at least
+    one, more when a mesh pads the slot axis to split evenly across
+    devices). `lpos` is each row's LOGICAL
     position (index of `cur` in its own sequence); `clock` is the
     global ring cursor (mod ring width) — ring slot (clock) is where
     the NEXT step writes every row's K/V.
@@ -123,6 +124,7 @@ class ContinuousDecoder:
         seed: int = 0,
         inj_transform=None,
         inj_dim: Optional[int] = None,
+        mesh=None,
     ):
         """segment_len_hot: shorter segment program used while requests
         are still WAITING for a slot (admission latency: a waiting
@@ -143,7 +145,18 @@ class ContinuousDecoder:
         applied to each admission group INSIDE the jitted admission
         program (e.g. the COATI token-MLP clip_to_special_token) — so
         callers can submit raw clip embeddings at zero extra dispatch
-        cost."""
+        cost.
+
+        mesh: optional jax.sharding.Mesh — shards the SLOT POOL over
+        the mesh's first axis (params replicated). Slot rows are
+        independent, so the segment program partitions cleanly (the
+        only collective is the while_loop's any(live) reduction) and
+        decode — bandwidth-bound on KV-cache reads — splits its cache
+        traffic across chips. Admission scatters and the harvest
+        device_get cross shards, but those are the engine's existing
+        host points. Scratch rows pad the pool to a multiple of the
+        mesh size. Sharded == single-device token identity:
+        tests/test_continuous.py::test_engine_sharded_matches_single."""
         # jitted segment/admission programs CLOSE OVER the params:
         # ensure device arrays (document-loaded params arrive as numpy,
         # which cannot be indexed by tracers)
@@ -177,7 +190,12 @@ class ContinuousDecoder:
         slack = max(segment_len, segment_len_hot or 0)
         self.w_ring = ((self.w + slack + 15) // 16) * 16
 
-        s = n_slots + 1  # + scratch row
+        self.mesh = mesh
+        n_dev = int(mesh.devices.size) if mesh is not None else 1
+        # >= 1 scratch row (never live), padded so the slot axis splits
+        # evenly over the mesh
+        s = ((n_slots + 1 + n_dev - 1) // n_dev) * n_dev
+        self.n_rows = s
         self.state = PoolState(
             tokens=jnp.zeros((s, self.w), jnp.int32),
             lpos=jnp.zeros((s,), jnp.int32),
@@ -190,6 +208,29 @@ class ContinuousDecoder:
         # the KV ring lives outside PoolState: it is the ONLY donated
         # buffer, so light fields stay valid for the deferred harvest
         self.cache: KVCache = make_empty_cache(cfg, s, width=self.w_ring)
+        if mesh is not None:
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+
+            ax = mesh.axis_names[0]
+            row = NamedSharding(mesh, P(ax))
+            rep = NamedSharding(mesh, P())
+            cache_sh = NamedSharding(mesh, P(None, None, ax))
+            self.params = jax.device_put(self.params, rep)
+            self.state = PoolState(
+                tokens=jax.device_put(self.state.tokens, row),
+                lpos=jax.device_put(self.state.lpos, row),
+                cur=jax.device_put(self.state.cur, row),
+                live=jax.device_put(self.state.live, row),
+                row_max=jax.device_put(self.state.row_max, row),
+                clock=jax.device_put(self.state.clock, rep),
+                rng=jax.device_put(self.state.rng, rep),
+            )
+            self.cache = KVCache(
+                data=jax.device_put(self.cache.data, cache_sh),
+                scale=(jax.device_put(self.cache.scale, cache_sh)
+                       if self.cache.scale is not None else None),
+            )
         self._free: List[int] = list(range(n_slots))
         self._slot_req: Dict[int, _Request] = {}
         self._pending: List[_Request] = []
@@ -306,8 +347,11 @@ class ContinuousDecoder:
             scale = scale.at[:, :, slots[:, None], cols[None, :]].set(
                 cache.scale[:, :, :, :p].astype(scale.dtype)
             )
-        # scratch row is never live, whatever was scattered into it
-        st_live = st_live.at[self.n_slots].set(False)
+        # scratch rows (n_slots..n_rows-1) are never live, whatever was
+        # scattered into them
+        st_live = st_live & (
+            jnp.arange(st_live.shape[0]) < self.n_slots
+        )
         return KVCache(data=data, scale=scale), PoolState(
             tokens=st_tokens, lpos=st_lpos, cur=st_cur, live=st_live,
             row_max=st_row_max, clock=state.clock, rng=rng,

@@ -112,12 +112,11 @@ class CoatiInferenceServer:
         via coati_to_token — the flagship published family,
         reference simple_coati2/transformer_only.py:43); top_p=None
         requests only, others fall back to the micro-batcher."""
-        if continuous and mesh is not None and mesh.devices.size > 1:
-            raise NotImplementedError(
-                "continuous batching is single-device (the slot pool "
-                "does not shard); use the micro-batcher with a mesh"
-            )
         self._continuous = continuous
+        # round 5: continuous + mesh shards the slot pool over the data
+        # axis (ContinuousDecoder(mesh=...)); previously rejected
+        self._mesh = mesh if (mesh is not None and mesh.devices.size > 1) \
+            else None
         self._n_slots = n_slots
         if mesh is not None and mesh.devices.size > 1:
             from coati_tpu.parallel.inference import ShardedCOATI, ShardedCOATI2
@@ -230,6 +229,7 @@ class CoatiInferenceServer:
             stop_token=tok.stop_token, pad_token=tok.pad_token,
             inject_token=tok.unk_token, k=k, inv_temp=inv_temp,
             inj_transform=inj_transform, inj_dim=model.embed_dim,
+            mesh=self._mesh,
         )
         engine.warmup()  # admission-size first-hits would stall traffic
 

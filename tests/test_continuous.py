@@ -365,3 +365,31 @@ def test_engine_matches_coati2_greedy():
         # and the decoded string matches the reference decode surface
         assert tok.decode(got[len(prefix):], special=False) \
             == tok.decode(want[len(prefix):], special=False)
+
+
+def test_engine_sharded_matches_single():
+    """Slot pool sharded over an 8-device mesh (round 5: multi-device
+    continuous serving): k=1 output token-identical to the 1-device
+    engine while slots recycle (6 requests through 4 slots, pool padded
+    to 8 rows for the mesh)."""
+    from coati_tpu.parallel.mesh import make_mesh
+
+    cfg = _cfg()
+    params = init_transformer(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(5)
+    inj = rng.normal(size=(6, cfg.n_embd)).astype(np.float32) * 2.0
+
+    def run(mesh):
+        eng = ContinuousDecoder(
+            params, cfg, PREFIX, n_slots=4, stop_token=STOP, pad_token=PAD,
+            inject_token=UNK, k=1, inv_temp=2.0, segment_len=8, mesh=mesh,
+        )
+        if mesh is not None:
+            assert eng.n_rows % mesh.devices.size == 0
+        rids = [eng.submit(inj[i]) for i in range(6)]
+        return rids, eng.run_until_done()
+
+    rids1, res1 = run(None)
+    rids8, res8 = run(make_mesh(8))
+    for a, b in zip(rids1, rids8):
+        assert list(res1[a]) == list(res8[b]), (res1[a], res8[b])

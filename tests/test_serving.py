@@ -327,3 +327,36 @@ def test_server_continuous_mode_coati2():
         assert isinstance(srv._gen_batcher(8, 2.0), ContinuousService)
     finally:
         srv.stop()
+
+
+def test_server_continuous_over_device_mesh():
+    """continuous=True + mesh (round 5: previously rejected with
+    NotImplementedError): the slot pool shards over the data axis
+    (ContinuousDecoder(mesh=...)) and /generate completes through it."""
+    from coati_tpu.parallel.mesh import make_mesh
+    from coati_tpu.serving.continuous import ContinuousService
+
+    tok = TrieTokenizer(n_seq=48, **get_vocab("mar_verysimple"))
+    cfg = CoatiConfig(
+        n_layer_e3gnn=1, n_layer_xformer=2, n_hidden_xformer=32,
+        n_hidden_e3nn=16, n_embd_common=32, n_head=2, n_seq=48,
+        n_tok=tok.n_token, norm_clips=True, token_mlp=True,
+    )
+    model = COATI(init_coati(jax.random.PRNGKey(0), cfg), cfg)
+    mesh = make_mesh(8)
+    srv = CoatiInferenceServer(
+        model, tok, port=0, continuous=True, n_slots=8, mesh=mesh
+    )
+    srv.start()
+    try:
+        out = _post(srv, "/embed", {"smiles": ["CCO", "CC", "CCC"]})
+        h = out["embeddings"]
+        gen = _post(srv, "/generate", {"embeddings": h * 4, "k": 8})
+        assert len(gen["smiles"]) == 12
+        assert all(isinstance(s, str) for s in gen["smiles"])
+        svc = srv._gen_batcher(8, 2.0)
+        assert isinstance(svc, ContinuousService)
+        assert svc._engine.mesh is mesh
+        assert svc._engine.n_rows % 8 == 0
+    finally:
+        srv.stop()
