@@ -1,0 +1,180 @@
+"""De-risking the gated chemistry without rdkit (VERDICT r4 item 6).
+
+The Crippen/QED oracle tests (tests/test_crippen_qed.py) are gated on
+an rdkit that never materializes in this environment, leaving the
+110-pattern Crippen table and the 95-alert QED list guarded by ~10
+pinned constants. This file grows the offline evidence two ways:
+
+  1. PER-ALERT hand-derived pins: for 24 alerts spanning the list, a
+     crafted molecule whose EXACT alert hit-set is derived from the
+     published SMARTS semantics by hand (epoxide -> *1[O,S,N]*1, acyl
+     halide -> [S,C](=[O,S])[F,Br,Cl,I], ...). Exact-set pins also lock
+     the chemically-correct incidental co-hits (dimethyl peroxide trips
+     both the peroxide alert #11 and the acyclic O-O alert #88).
+  2. PERMUTATION/KEKULIZATION fuzz: every Crippen atom-type assignment
+     (as a multiset), every per-alert hit-set, and every QED property
+     vector must be invariant under random SMILES re-writings of the
+     same molecule and under the kekulized writing — the SMARTS engine
+     (chem/smarts.py) sees a different atom order, different ring
+     closure digits, and a different aromatic/Kekulé presentation, so
+     any traversal-order or perception dependence in the matcher shows
+     up as a diff.
+
+Reference semantics: rdkit QED/Crippen via
+containers/rdkit_utils.py:249-265; the gated oracle tests remain the
+final word when rdkit is importable.
+"""
+
+import random
+
+import pytest
+
+from coati_tpu.chem.aromaticity import perceive_aromaticity
+from coati_tpu.chem.crippen import atom_types, mol_logp
+from coati_tpu.chem.qed import STRUCTURAL_ALERTS, qed_properties
+from coati_tpu.chem.selfies_lite import (
+    EncoderError,
+    kekulize,
+    parse_smiles,
+    permute_smiles,
+    write_smiles,
+)
+from coati_tpu.chem.smarts import (
+    MolContext,
+    SmartsPattern,
+    add_explicit_hydrogens,
+)
+
+
+def alert_hits(smiles: str) -> tuple:
+    """Sorted indices of STRUCTURAL_ALERTS with >= 1 match — the
+    decomposition of qed.py's ALERTS count."""
+    mol = parse_smiles(smiles)
+    perceive_aromaticity(mol)
+    mol = add_explicit_hydrogens(mol)
+    ctx = MolContext(mol)
+    return tuple(
+        i for i, p in enumerate(STRUCTURAL_ALERTS)
+        if SmartsPattern(p).has_match(ctx)
+    )
+
+
+# (molecule, exact alert hit-set) — every set derived BY HAND from the
+# published SMARTS (indices into STRUCTURAL_ALERTS as shipped):
+ALERT_PINS = [
+    ("C1CO1", (0,)),                  # epoxide: 3-ring with O
+    ("CC(=O)Cl", (1,)),               # acyl chloride
+    ("CCCl", (2,)),                   # sp3 alkyl chloride
+    ("CS(=O)(=O)OC", (3,)),           # sulfonate ester
+    ("On1cccc1", (6,)),               # N-hydroxy azole (n[OH])
+    ("CC=O", (10,)),                  # aldehyde [CH1](=O)
+    ("COOC", (11, 88)),               # peroxide: O-O AND acyclic O/N-O/N
+    ("CC=NC", (12,)),                 # acyclic imine
+    ("CC(=O)C(=O)C", (14,)),          # 1,2-diketone
+    ("CSSC", (15,)),                  # disulfide
+    ("CNN", (16, 88)),                # hydrazine: [#7][NH2] + acyclic N-N
+    ("CC(=S)C", (18,)),               # thiocarbonyl
+    ("Nc1ccccc1", (25,)),             # aniline
+    ("CCI", (2, 27)),                 # iodide: alkyl halide + bare I
+    ("C[N+](=O)[O-]", (29, 88)),      # nitro (+ acyclic N-O single bonds)
+    ("CCS", (32,)),                   # thiol [SH]
+    ("C1CCCCCC1", (36,)),             # cycloheptane ring
+    ("C#CC", (42,)),                  # alkyne
+    ("CCN=C=O", (12, 49)),            # isocyanate (C=N acyclic + N=C=O)
+    ("CCN=[N+]=[N-]", (13, 54, 92)),  # azide: N=N + azide + [*]=[N+]=[*]
+    ("CP(C)C", (57,)),                # phosphorus
+    ("CS(=O)(=O)O", (84,)),           # sulfonic acid
+    ("O=C1C=CC(=O)C=C1", (20,)),      # quinone
+    ("N#N", (94,)),
+    # negative controls + a real-drug positive
+    ("CCO", ()),
+    ("c1ccccc1", ()),
+    ("CC(=O)Oc1ccccc1C(=O)O", (51,)),  # aspirin: phenyl ester only
+    ("Cn1c(=O)c2c(ncn2C)n(C)c1=O", ()),  # caffeine: no Brenk alerts
+]
+
+
+@pytest.mark.parametrize("smiles,expected", ALERT_PINS)
+def test_per_alert_hand_pins(smiles, expected):
+    assert alert_hits(smiles) == expected
+
+
+def test_every_alert_pattern_compiles_and_is_exercised():
+    """All 95 alerts compile; the pin list exercises 24 distinct ones
+    (the rest are guarded by the fuzz below + the gated rdkit test)."""
+    for p in STRUCTURAL_ALERTS:
+        SmartsPattern(p)
+    covered = {i for _, hits in ALERT_PINS for i in hits}
+    assert len(covered) >= 24
+
+
+# ----------------------------------------------- invariance fuzz corpus
+
+FUZZ_MOLECULES = [
+    # drugs with varied functionality
+    "CC(=O)Oc1ccccc1C(=O)O",
+    "Cn1c(=O)c2c(ncn2C)n(C)c1=O",
+    "CC(C)Cc1ccc(cc1)C(C)C(=O)O",
+    "CCN(CC)CCNC(=O)c1ccc(N)cc1",
+    "CS(=O)(=O)N1CCC(CC1)Oc1ccccc1",
+    "O=C(Nc1ccc(F)cc1)c1cccnc1",
+    "Clc1ccc(cc1)C(c1ccccc1)N1CCCC1",
+    "COc1ccc2cc(ccc2c1)C(C)C(=O)O",
+    # alert-tripping structures (exercise alert patterns under permutation)
+    "CC(=O)Cl", "C1CO1", "CSSC", "CCN=[N+]=[N-]", "O=C1C=CC(=O)C=C1",
+    "On1cccc1", "C[N+](=O)[O-]", "CS(=O)(=O)OC", "CNC(=O)C=C",
+    # fused aromatics / heteroaromatics (kekulization stress)
+    "c1ccc2ccccc2c1", "c1ccc2[nH]ccc2c1", "c1cnc2[nH]ccc2c1",
+    "c1ccc2c(c1)oc1ccccc12", "Cc1cc(=O)[nH]c(=S)[nH]1",
+    # charged / isotopic corners
+    "CC([O-])=O", "C[N+](C)(C)C", "[13CH4]",
+]
+
+
+def _rewritings(smiles, n_perm=3, seed=0):
+    """The same molecule written n_perm random ways + kekulized."""
+    rng = random.Random(seed)
+    outs = [permute_smiles(smiles, rng=rng) for _ in range(n_perm)]
+    mol = parse_smiles(smiles)
+    kekulize(mol)
+    outs.append(write_smiles(mol))
+    return outs
+
+
+@pytest.mark.parametrize("smiles", FUZZ_MOLECULES)
+def test_crippen_typing_invariant_under_rewriting(smiles):
+    ref_types = sorted(atom_types(smiles))
+    ref_logp = mol_logp(smiles)
+    assert "??" not in {t for t, _ in ref_types}
+    for alt in _rewritings(smiles):
+        assert sorted(atom_types(alt)) == ref_types, (smiles, alt)
+        assert mol_logp(alt) == pytest.approx(ref_logp, abs=1e-9)
+
+
+@pytest.mark.parametrize("smiles", FUZZ_MOLECULES)
+def test_alert_hits_invariant_under_rewriting(smiles):
+    ref = alert_hits(smiles)
+    for alt in _rewritings(smiles, seed=1):
+        assert alert_hits(alt) == ref, (smiles, alt)
+
+
+@pytest.mark.parametrize("smiles", FUZZ_MOLECULES)
+def test_qed_properties_invariant_under_rewriting(smiles):
+    ref = qed_properties(smiles)
+    for alt in _rewritings(smiles, seed=2):
+        got = qed_properties(alt)
+        assert got.keys() == ref.keys()
+        for k in ref:
+            assert got[k] == pytest.approx(ref[k], abs=1e-9), (k, smiles, alt)
+
+
+def test_fuzz_corpus_exercises_many_crippen_types():
+    """Diversity floor: the fuzz corpus must touch a broad slice of the
+    110-row Crippen table (it currently hits ~40 distinct types)."""
+    seen = set()
+    for s in FUZZ_MOLECULES:
+        try:
+            seen |= {t for t, _ in atom_types(s)}
+        except EncoderError:
+            pass
+    assert len(seen) >= 30, sorted(seen)
