@@ -178,3 +178,24 @@ def test_fuzz_corpus_exercises_many_crippen_types():
         except EncoderError:
             pass
     assert len(seen) >= 30, sorted(seen)
+
+
+def test_atom_typing_total_on_committed_corpus():
+    """Crippen typing is total ('??' = matcher bug) and type-diverse on
+    300 committed synth-corpus molecules (corpora/chembl_synth_v1) —
+    ungated, unlike the reference-pickle variant in test_crippen_qed."""
+    import os
+
+    from coati_tpu.data.synth import load_corpus
+
+    path = os.path.join(os.path.dirname(__file__), "..",
+                        "corpora", "chembl_synth_v1.smi.gz")
+    corpus = load_corpus(path)
+    assert len(corpus) == 120_000
+    seen = set()
+    step = len(corpus) // 300
+    for s in corpus[::step]:
+        types = {t for t, _ in atom_types(s)}
+        assert "??" not in types, s
+        seen |= types
+    assert len(seen) >= 40, sorted(seen)
