@@ -47,6 +47,10 @@ def main():
     parser.add_argument("--slots", type=int, default=64)
     parser.add_argument("--segment", type=int, default=48)
     parser.add_argument("--out", default=None)
+    parser.add_argument("--corpus", default=None,
+                        help="draw request molecules from this .smi[.gz] "
+                             "(e.g. corpora/chembl_synth_v1.smi.gz) instead "
+                             "of the 554-molecule chembl_pic50 set")
     args = parser.parse_args()
 
     from coati_tpu.models.api import COATI
@@ -82,8 +86,19 @@ def main():
     spec.loader.exec_module(etd)
     _valid_proxy, chembl_smiles = etd._valid_proxy, etd.chembl_smiles
 
+    if args.corpus:
+        # synthesized corpus (scripts/make_corpus.py): a realistic
+        # molecule-length TAIL (token p90 ~22 vs the 554-seed set's ~14
+        # — VERDICT r4 item 7: the memorization corpus's tight length
+        # distribution flatters drain-batching)
+        from coati_tpu.data.synth import load_corpus
+
+        pool = load_corpus(args.corpus)
+    else:
+        pool = chembl_smiles()
+
     smiles = [
-        s for s in chembl_smiles()
+        s for s in pool
         if _valid_proxy(s, tok)
         and len(tok.tokenize_text("[SMILES]" + s + "[STOP]", pad=False))
         <= tok.n_seq
