@@ -1,0 +1,220 @@
+"""MMFF-lite force field + stereo-aware embedding (chem/forcefield.py,
+conformers stereo constraints) — the offline stand-in for the
+reference's ETKDG + MMFF94s conformer pipeline
+(containers/rdkit_utils.py:163-219 mol_to_atoms_coords optimize=True).
+
+Offline-provable invariants: analytic gradients vs central differences,
+minimization lowers energy onto sane geometry (staggered butane, planar
+benzene), cis/trans markers separate geometrically, enantiomers are
+distance-identical mirrors while diastereomers differ, and every
+tetrahedral marker's signed-volume restraint holds after embedding.
+The ABSOLUTE orientation convention ("@" == negative signed volume) is
+only checkable against rdkit (gated test at the bottom): offline, a
+convention flip mirrors whole molecules and is invisible to every
+pairwise distance, which is all the EGNN consumes (models/egnn.py)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from coati_tpu.chem.conformers import (
+    _bounds,
+    _chiral_volumes,
+    _embed_with_graph,
+    _HGraph,
+    embed_conformer,
+    embed_smiles_to_atoms_coords,
+)
+from coati_tpu.chem.forcefield import ForceField, build_forcefield
+from coati_tpu.chem.selfies_lite import parse_smiles
+
+
+def _ff_for(smiles: str):
+    g = _HGraph(parse_smiles(smiles), hydrogenate=True)
+    return build_forcefield(g, tetra=g.tetra, cistrans=g.cistrans), g
+
+
+def _pair_dists(coords: np.ndarray) -> np.ndarray:
+    d = coords[:, None, :] - coords[None, :, :]
+    n = coords.shape[0]
+    return np.sort(np.sqrt((d * d).sum(-1))[np.triu_indices(n, 1)])
+
+
+@pytest.mark.parametrize("smiles", [
+    "CCO", "CC(=O)O", "c1ccccc1", "C/C=C/C", "C[C@H](N)C(=O)O",
+    "FC(F)(F)c1ccc(Cl)cc1",
+])
+def test_analytic_gradient_matches_central_differences(smiles):
+    ff, g = _ff_for(smiles)
+    rng = np.random.default_rng(7)
+    # random-ish but spread-out start so no term sits on a singularity
+    atoms, x, _, _ = _embed_with_graph(smiles)
+    x = x + rng.normal(scale=0.05, size=x.shape)
+    _, grad = ff.energy_grad(x)
+    eps = 1e-5
+    num = np.zeros_like(grad)
+    for i in range(x.shape[0]):
+        for c in range(3):
+            xp = x.copy()
+            xp[i, c] += eps
+            xm = x.copy()
+            xm[i, c] -= eps
+            num[i, c] = (ff.energy(xp) - ff.energy(xm)) / (2 * eps)
+    scale = max(1.0, np.abs(num).max())
+    np.testing.assert_allclose(grad, num, atol=2e-3 * scale)
+
+
+def test_minimize_lowers_energy_and_keeps_bonds_on_table():
+    ff, g = _ff_for("CCCC")
+    _, x0, _, _ = _embed_with_graph("CCCC")
+    e0 = ff.energy(x0)
+    x, e = ff.minimize(x0)
+    assert e < e0
+    i, j = ff.bond_idx[:, 0], ff.bond_idx[:, 1]
+    r = np.sqrt(((x[i] - x[j]) ** 2).sum(-1))
+    assert np.abs(r / ff.bond_r0 - 1.0).max() < 0.03
+
+
+def test_minimized_butane_backbone_is_staggered():
+    atoms, coords, energy = embed_conformer("CCCC", optimize=True,
+                                            num_confs=4)
+    # heavy atoms come first in parse order: C0-C1-C2-C3
+    b1 = coords[1] - coords[0]
+    b2 = coords[2] - coords[1]
+    b3 = coords[3] - coords[2]
+    n1, n2 = np.cross(b1, b2), np.cross(b2, b3)
+    m1 = np.cross(n1, b2 / np.linalg.norm(b2))
+    phi = math.atan2(float(m1 @ n2), float(n1 @ n2))
+    # staggered minima at +-60 and 180 degrees: cos(3 phi) = -1
+    assert math.cos(3 * phi) < -0.95
+    assert np.isfinite(energy)
+
+
+def test_minimized_benzene_is_planar_with_aromatic_bonds():
+    atoms, coords, _ = embed_conformer("c1ccccc1", optimize=True)
+    ring = coords[:6]
+    centered = ring - ring.mean(0)
+    # smallest singular value = out-of-plane extent
+    s = np.linalg.svd(centered, compute_uv=False)
+    assert s[-1] < 0.05
+    ring_bonds = [np.linalg.norm(ring[i] - ring[(i + 1) % 6])
+                  for i in range(6)]
+    assert 1.33 < min(ring_bonds) and max(ring_bonds) < 1.47
+
+
+def test_cis_trans_markers_separate_geometrically():
+    # trans-1,2-difluoroethene puts the fluorines farther apart
+    _, c_trans, _ = embed_conformer("F/C=C/F")
+    _, c_cis, _ = embed_conformer(r"F/C=C\F")
+    # parse order: F0 C1 C2 F3
+    d_trans = np.linalg.norm(c_trans[0] - c_trans[3])
+    d_cis = np.linalg.norm(c_cis[0] - c_cis[3])
+    assert d_trans > d_cis + 0.5
+    # and survives force-field relaxation
+    _, c_trans_o, _ = embed_conformer("F/C=C/F", optimize=True)
+    _, c_cis_o, _ = embed_conformer(r"F/C=C\F", optimize=True)
+    assert (np.linalg.norm(c_trans_o[0] - c_trans_o[3])
+            > np.linalg.norm(c_cis_o[0] - c_cis_o[3]) + 0.5)
+
+
+def test_enantiomers_are_distance_identical_mirrors():
+    _, c_r, _ = embed_conformer("C[C@H](N)O")
+    _, c_s, _ = embed_conformer("C[C@@H](N)O")
+    np.testing.assert_allclose(_pair_dists(c_r), _pair_dists(c_s),
+                               atol=1e-6)
+    # and genuinely mirrored, not identical: opposite signed volumes
+    g_r = _HGraph(parse_smiles("C[C@H](N)O"), True)
+    g_s = _HGraph(parse_smiles("C[C@@H](N)O"), True)
+    v_r = _chiral_volumes(c_r, g_r.tetra)
+    v_s = _chiral_volumes(c_s, g_s.tetra)
+    assert np.sign(v_r[0]) == -np.sign(v_s[0]) != 0
+
+
+def test_diastereomers_differ_in_distance_geometry():
+    # 2,3-butanediol: (R,R) vs meso — relative parity is convention-
+    # independent, so this must hold regardless of the absolute sign
+    _, c_rr, _ = embed_conformer("C[C@H](O)[C@H](C)O", optimize=True,
+                                 num_confs=4)
+    _, c_meso, _ = embed_conformer("C[C@H](O)[C@@H](C)O", optimize=True,
+                                   num_confs=4)
+    d_rr = _pair_dists(c_rr)
+    d_meso = _pair_dists(c_meso)
+    assert np.abs(d_rr - d_meso).max() > 0.15
+
+
+@pytest.mark.parametrize("smiles", [
+    "C[C@H](N)C(=O)O",                      # L-alanine
+    "C[C@@H](O)[C@H](C)O",
+    "N[C@@H](Cc1ccccc1)C(=O)O",             # phenylalanine
+    "O[C@H]1CC[C@@H](N)CC1",                # ring stereocenters
+])
+def test_tetrahedral_restraints_hold_after_embedding(smiles):
+    g = _HGraph(parse_smiles(smiles), True)
+    assert g.tetra, "expected tetrahedral constraints"
+    _, coords, _ = embed_conformer(smiles, num_confs=2)
+    vol = _chiral_volumes(coords, g.tetra)
+    signs = np.asarray([t[2] for t in g.tetra])
+    assert (np.sign(vol) == signs).all(), (vol, signs)
+    # and after force-field minimization
+    _, coords_o, _ = embed_conformer(smiles, optimize=True, num_confs=2)
+    vol_o = _chiral_volumes(coords_o, g.tetra)
+    assert (np.sign(vol_o) == signs).all(), (vol_o, signs)
+
+
+def test_optimize_contract_returns_energy():
+    out = embed_smiles_to_atoms_coords("CCO", optimize=True, numConfs=2)
+    assert len(out) == 3
+    atoms, coords, energy = out
+    assert np.isfinite(energy)
+    assert coords.shape == (len(atoms), 3)
+
+
+def test_stereo_bounds_pin_matches_torsion_formula():
+    g = _HGraph(parse_smiles("F/C=C/F"), True)
+    assert any(t for *_ , t in g.cistrans), "trans assignment missing"
+    lower, upper = _bounds(g)
+    # F0..F3 band is tight (3 percent), not the cis..trans envelope
+    assert upper[0, 3] / lower[0, 3] < 1.10
+
+
+def test_stereo_skips_underspecified_centers():
+    # chirality marker with only 3 embedded neighbors (no bracket H):
+    # documented scope — constraint skipped, embedding still works
+    g = _HGraph(parse_smiles("C[S@](=O)CC"), True)
+    assert g.tetra == []
+    atoms, coords, _ = embed_conformer("C[S@](=O)CC")
+    assert np.isfinite(coords).all()
+
+
+def test_forcefield_empty_molecule_terms():
+    ff, _ = _ff_for("C")  # methane: bonds+angles only, no torsions
+    assert len(ff.tors_idx) == 0
+    _, x, _, _ = _embed_with_graph("C")
+    x2, e = ff.minimize(x)
+    assert np.isfinite(e)
+
+
+def test_rdkit_chirality_convention_agreement():
+    """Gated absolute-convention pin: rdkit ETKDG must produce the same
+    signed-volume sign for the written-order quadruple as our "@" =>
+    negative convention."""
+    rdkit = pytest.importorskip("rdkit")
+    from rdkit import Chem
+    from rdkit.Chem import AllChem
+
+    smiles = "C[C@H](N)O"
+    m = Chem.AddHs(Chem.MolFromSmiles(smiles))
+    AllChem.EmbedMolecule(m, randomSeed=0xF00D)
+    conf = m.GetConformer()
+    coords = np.array([[conf.GetAtomPosition(i).x,
+                        conf.GetAtomPosition(i).y,
+                        conf.GetAtomPosition(i).z]
+                       for i in range(m.GetNumAtoms())])
+    g = _HGraph(parse_smiles(smiles), True)
+    # rdkit AddHs appends hydrogens after the heavy atoms in order, the
+    # same layout _HGraph uses, so the quadruple indices line up
+    vol = _chiral_volumes(coords, g.tetra)
+    assert np.sign(vol[0]) == g.tetra[0][2]
