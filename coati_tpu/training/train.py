@@ -200,6 +200,32 @@ def make_epoch_metrics_processor(
     return process
 
 
+def tpu_compiler_options():
+    """TPU-only XLA overrides for the train-step jit: raise the scoped-
+    VMEM ceiling to the EGNN kernels' design budget (64 MB,
+    ops/pallas/egnn_messages.py:50). On this toolchain's remote AOT
+    compile path the per-call pltpu.CompilerParams(vmem_limit_bytes=
+    64M) does NOT shield the kernel from the GLOBAL scoped ceiling:
+    at the synth corpus's 96-atom bucket the fused-backward's chosen
+    grid tile needs ~36.5 MB of scoped VMEM and the compile dies with
+    an XLA INTERNAL ("Scoped allocation ... exceeded scoped vmem
+    limit", reported at whatever the global limit is — measured at the
+    16 MB default and at 12/32 MB overrides; compile-only A/B in
+    /tmp/repro_compile.py form). Raising the GLOBAL limit to >= the
+    kernel's demand fixes it: 40 MB and 64 MB both compile, with
+    memory-space assignment left on. 64 MB matches the budget the
+    kernel's tile picker already assumes (_VMEM_BUDGET = 56 MB + Mosaic
+    scratch headroom) so every molecule bucket's tiling fits. CPU/GPU
+    backends reject the flag, hence the gate; returns None (jit
+    default) off-TPU."""
+    try:
+        if jax.default_backend() in ("tpu", "axon"):
+            return {"xla_tpu_scoped_vmem_limit_kib": 65536}
+    except Exception:  # noqa: BLE001 - no backend yet / query failure
+        pass
+    return None
+
+
 def make_train_step(
     mesh,
     model_cfg: CoatiConfig,
@@ -316,7 +342,8 @@ def make_train_step(
     donate = (0, 1) if is_training else ()
 
     if mode == "pjit":
-        return jax.jit(global_step, donate_argnums=donate)
+        return jax.jit(global_step, donate_argnums=donate,
+                       compiler_options=tpu_compiler_options())
 
     batch_spec = {
         "raw_tokens": P(axis),
@@ -332,7 +359,8 @@ def make_train_step(
         out_specs=(P(), P(), P()),
         check_vma=False,
     )
-    return jax.jit(stepped, donate_argnums=donate)
+    return jax.jit(stepped, donate_argnums=donate,
+                   compiler_options=tpu_compiler_options())
 
 
 def train_autoencoder(
