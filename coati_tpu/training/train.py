@@ -597,10 +597,21 @@ def train_autoencoder(
             if batch["tokens"].shape[0] != batch["atoms"].shape[0]:
                 print("a row was lost, skipping batch")
                 continue
-            device_batch = shard_batch(
-                mesh,
-                {k: batch[k] for k in ("raw_tokens", "tokens", "y_next", "atoms", "coords")},
-            )
+            host_batch = {
+                k: batch[k]
+                for k in ("raw_tokens", "tokens", "y_next", "atoms", "coords")
+            }
+            if mesh.devices.size == 1:
+                # plain transfer, NOT NamedSharding-committed: on the
+                # axon-tunneled runtime a mesh-committed input makes the
+                # SPMD executable pathologically slow — measured 4433 vs
+                # 127 ms/step on the same grande step, same data, one
+                # device (A/B/C in PERF.md "single-device input
+                # commitment"); sharding a 1-device mesh adds nothing
+                # semantically, so feed uncommitted arrays there
+                device_batch = jax.device_put(host_batch)
+            else:
+                device_batch = shard_batch(mesh, host_batch)
             rng, step_rng = jax.random.split(rng)
             bsz = batch["tokens"].shape[0]
             if (
