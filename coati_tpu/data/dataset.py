@@ -106,6 +106,9 @@ class COATI_dataset:
             distributed_rankmod_total=distributed_rankmod_total,
             distributed_rankmod_rank=distributed_rankmod_rank,
             required_fields=self.fields,
+            # bound the compiled-shape set (see data/synth.py: unbucketed
+            # atom padding recompiles the train step per batch-max)
+            pad_to_bucket=True,
         )
 
 

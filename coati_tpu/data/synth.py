@@ -159,4 +159,10 @@ class SynthCorpusDataset:
         return batch_rows(
             rows(), batch_size=batch_size, partition="raw",
             xform_routine=xform_routine, required_fields=["smiles"],
+            # bound the compiled-shape set: without bucketing, atoms pad
+            # to each batch's raw max (any of ~40 integers on the synth
+            # corpus) and the train step recompiles every other batch —
+            # observed as a fresh ~16 MB jit_global_step cache entry per
+            # minute before this flag (PERF.md round 5)
+            pad_to_bucket=True,
         )
