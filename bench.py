@@ -60,6 +60,8 @@ SMILES = [
 def build_model(n_seq: int, dtype: str):
     import jax
     import jax.numpy as jnp
+    from coati_tpu.common.util import enable_persistent_compilation_cache
+    enable_persistent_compilation_cache()
     from coati_tpu.models.api import COATI
     from coati_tpu.models.coati import CoatiConfig, init_coati
     from coati_tpu.tokenizers import get_vocab

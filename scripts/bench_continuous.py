@@ -37,6 +37,9 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+from coati_tpu.common.util import enable_persistent_compilation_cache
+enable_persistent_compilation_cache()
+
 import jax.numpy as jnp
 
 

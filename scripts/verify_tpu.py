@@ -45,6 +45,10 @@ TIMEOUT = int(os.environ.get("VERIFY_TIMEOUT", 2400))
 def run(script, env_extra=None, args=()):
     env = dict(os.environ)
     env["PYTHONPATH"] = "/root/.axon_site:" + REPO
+    # children warm-start their remote compiles from the shared
+    # persistent cache (common/util.enable_persistent_compilation_cache)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                   os.path.expanduser("~/.cache/jax_comp"))
     env.update(env_extra or {})
     t0 = time.time()
     try:
