@@ -201,9 +201,18 @@ def test_rdkit_chirality_convention_agreement():
     """Gated absolute-convention pin: rdkit ETKDG must produce the same
     signed-volume sign for the written-order quadruple as our "@" =>
     negative convention."""
-    rdkit = pytest.importorskip("rdkit")
-    from rdkit import Chem
-    from rdkit.Chem import AllChem
+    # importorskip alone is defeated by tests/oracle.py's minimal rdkit
+    # module stub (ensure_rdkit_module_stub registers a fake top-level
+    # `rdkit` for reference-module imports) — probe for the REAL package
+    pytest.importorskip("rdkit")
+    try:
+        from rdkit import Chem
+        from rdkit.Chem import AllChem
+
+        if Chem.MolFromSmiles("C") is None:
+            raise ImportError("stub")
+    except Exception:
+        pytest.skip("real rdkit not available (stub module registered)")
 
     smiles = "C[C@H](N)O"
     m = Chem.AddHs(Chem.MolFromSmiles(smiles))
