@@ -165,6 +165,12 @@ def enable_persistent_compilation_cache(
     try:
         import jax
 
+        if jax.default_backend() not in ("tpu", "axon"):
+            # TPU-only: under the 8-virtual-device CPU test config a
+            # deserialized cached executable SIGABRTed on first value
+            # read (tests/test_aux.py graft-entry dryrun, jax 0.9);
+            # CPU compiles are fast enough not to need the cache anyway
+            return False
         full = os.path.expanduser(path)
         os.makedirs(full, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", full)

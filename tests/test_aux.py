@@ -203,7 +203,20 @@ def test_generation_quality_artifact_floors():
     with open(path) as f:
         v = json.load(f)
     assert v["ok"] is True
-    assert v["greedy_roundtrip_train"] >= 0.90
-    assert v["bulk"]["fraction_valid"] >= 0.85
     assert v["bulk"]["n_samples"] >= 10_000
-    assert v["bulk"]["n_unique_canonical"] >= 100
+    if "synth" in str(v["recipe"].get("corpus", "")):
+        # GENERALIZATION regime (round 5: 120k synthesized-corpus
+        # training) — the floors are the committed result minus slack:
+        # holdout round-trip 0.281, train 0.494, validity 0.604,
+        # 3263 novel canonical molecules (vs r4's memorization regime:
+        # 0.018 holdout, 1 novel in 10,240)
+        assert v["greedy_roundtrip_holdout"] >= 0.15
+        assert v["greedy_roundtrip_train"] >= 0.35
+        assert v["bulk"]["fraction_valid"] >= 0.50
+        assert v["bulk"]["n_novel_canonical"] >= 1000
+        assert v["bulk"]["n_unique_canonical"] >= 2000
+    else:
+        # memorization regime (554-molecule offline corpus)
+        assert v["greedy_roundtrip_train"] >= 0.90
+        assert v["bulk"]["fraction_valid"] >= 0.85
+        assert v["bulk"]["n_unique_canonical"] >= 100
